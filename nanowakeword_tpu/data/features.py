@@ -1,0 +1,208 @@
+"""AudioFeatures: audio -> mel -> 96-dim embeddings, batch and streaming.
+
+Parity target: `/root/reference/nanowakeword/data/AudioFeatures.py` — the
+feature frontend that every layer above consumes. Public surface matches:
+`embed_clips()` (`AudioFeatures.py:301`), `__call__`/`_streaming_features`
+(`:410-464`), `get_features()` (`:455`), `reset()` (`:116`),
+`get_embedding_shape()` (`:186`), plus the buffer geometry (10 s raw window,
+970-frame mel buffer, 120-frame feature buffer, 1280-sample chunks —
+`:106-112`).
+
+TPU-native redesign:
+* mel + embedding are OUR jit-compiled kernels (ops/mel.py, models/
+  embedding.py), not downloaded ONNX sessions; no ThreadPools — batching is
+  the parallelism.
+* the streaming path is a single jitted step over a fixed-shape state pytree
+  (mel ring, feature ring, 320-sample tail) — and it is EXACTLY equal to the
+  batch path (the reference admits its own streaming drifts from batch,
+  `AudioFeatures.py:388-393`; our equivalence is tested in
+  tests/test_features.py).
+* the encoder weights are a framework asset: deterministically initialised
+  (seed 10) by default, replaceable with trained weights via
+  `load_encoder_params` / the training pipeline's end-to-end mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanowakeword_tpu.models.embedding import (EMB_STRIDE, EMB_WINDOW,
+                                               EMBEDDING_DIM,
+                                               SpeechEmbeddingEncoder,
+                                               n_embedding_frames)
+from nanowakeword_tpu.ops import mel as melops
+
+MEL_BUFFER_FRAMES = 970      # ~10 s of mel history (AudioFeatures.py:108)
+FEATURE_BUFFER_FRAMES = 120  # ~10 s of embeddings (AudioFeatures.py:112)
+CHUNK = melops.CHUNK         # 1280 samples / 80 ms
+ENCODER_SEED = 10
+
+
+class StreamState(NamedTuple):
+    """Fixed-shape streaming state, threaded through the jitted step."""
+    tail: jnp.ndarray       # [320] last raw samples (mel left context)
+    mel_buf: jnp.ndarray    # [970, 32] mel ring (newest at the end)
+    feat_buf: jnp.ndarray   # [120, 96] embedding ring (newest at the end)
+
+
+@functools.lru_cache(maxsize=4)
+def _default_encoder_variables(seed: int = ENCODER_SEED):
+    enc = SpeechEmbeddingEncoder()
+    return enc.init(jax.random.PRNGKey(seed),
+                    jnp.zeros((1, EMB_WINDOW, melops.N_MELS)))
+
+
+class AudioFeatures:
+    """Feature frontend with identical call surface to the reference class."""
+
+    def __init__(self,
+                 encoder_variables=None,
+                 sr: int = 16000,
+                 ncpu: int = 1,                     # accepted for parity; unused
+                 inference_framework: str = "jax",  # parity arg
+                 device: str = "tpu",               # parity arg
+                 compute_dtype=jnp.float32,
+                 debug_mode: bool = False,
+                 debug_limit: int = 10):
+        del ncpu, inference_framework, device
+        self.sr = sr
+        self.compute_dtype = compute_dtype
+        self.debug_mode = debug_mode
+        self.debug_limit = debug_limit
+        self.encoder = SpeechEmbeddingEncoder()
+        self.encoder_variables = (encoder_variables
+                                  or _default_encoder_variables())
+
+        self._jit_stream_step = jax.jit(self._stream_step_impl)
+        self._jit_embed = jax.jit(self._embed_impl)
+        self._jit_mel = jax.jit(
+            lambda x: melops.mel_frontend(x, compute_dtype=self.compute_dtype))
+
+        self.reset()
+
+    # -- pure compute ---------------------------------------------------------
+
+    def _embed_impl(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """[N, samples] audio -> [N, frames, 96]; one fused pass, no windows."""
+        mel = melops.mel_frontend(audio, compute_dtype=self.compute_dtype)
+        return self.encoder.apply(self.encoder_variables, mel)
+
+    def _stream_step_impl(self, state: StreamState,
+                          chunk: jnp.ndarray) -> StreamState:
+        """1280 new samples -> 8 new mel frames -> 1 new embedding frame."""
+        tail, new_mel = melops.mel_streaming_step(
+            state.tail, chunk, compute_dtype=self.compute_dtype)
+        mel_buf = jnp.roll(state.mel_buf, -melops.FRAMES_PER_CHUNK, axis=0)
+        mel_buf = mel_buf.at[-melops.FRAMES_PER_CHUNK:].set(new_mel)
+        window = mel_buf[-EMB_WINDOW:][None]           # [1, 76, 32]
+        emb = self.encoder.apply(self.encoder_variables, window)[0, 0]
+        feat_buf = jnp.roll(state.feat_buf, -1, axis=0).at[-1].set(emb)
+        return StreamState(tail=tail, mel_buf=mel_buf, feat_buf=feat_buf)
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def reset(self):
+        """Reset internal streaming buffers (AudioFeatures.py:116-122)."""
+        self.raw_data_remainder = np.empty(0, dtype=np.float32)
+        self.accumulated_samples = 0
+        self._pending = np.empty(0, dtype=np.float32)
+        self._frames_seen = 0  # embedding frames emitted since reset
+        self.state = StreamState(
+            tail=jnp.zeros(melops.LEFT_PAD, jnp.float32),
+            mel_buf=jnp.ones((MEL_BUFFER_FRAMES, melops.N_MELS), jnp.float32),
+            feat_buf=jnp.zeros((FEATURE_BUFFER_FRAMES, EMBEDDING_DIM),
+                               jnp.float32),
+        )
+
+    # -- batch path -------------------------------------------------------------
+
+    def embed_clips(self, x, batch_size: int = 128, ncpu: int = 1) -> np.ndarray:
+        """[N, samples] int16/float audio -> [N, frames, 96]
+        (AudioFeatures.py:301-384). batch_size bounds device memory."""
+        del ncpu
+        x = np.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        outs = []
+        for i in range(0, x.shape[0], batch_size):
+            batch = jnp.asarray(x[i:i + batch_size], jnp.float32)
+            outs.append(np.asarray(self._jit_embed(batch)))
+        return np.concatenate(outs, axis=0)
+
+    def _get_melspectrogram(self, x) -> np.ndarray:
+        """Whole-clip mel (AudioFeatures.py:124-153 contract)."""
+        x = np.asarray(x, np.float32)
+        return np.asarray(self._jit_mel(jnp.asarray(x)))
+
+    def _get_embeddings(self, x, **kwargs) -> np.ndarray:
+        """Whole-clip embeddings [frames, 96] (AudioFeatures.py:172-183)."""
+        out = self.embed_clips(np.asarray(x, np.float32)[None], **kwargs)
+        return out[0]
+
+    def get_embedding_shape(self, audio_length: float, sr: int = 16000):
+        """Output embedding shape for a clip length in seconds
+        (AudioFeatures.py:186-189)."""
+        n = int(audio_length * sr)
+        return (n_embedding_frames(melops.n_mel_frames(n)), EMBEDDING_DIM)
+
+    # -- streaming path ----------------------------------------------------------
+
+    def _streaming_features(self, x) -> int:
+        """Accumulate raw audio; process in whole 1280-sample chunks.
+
+        Returns the number of samples processed this call (or the number
+        accumulated so far if < 1280), mirroring AudioFeatures.py:410-453.
+        """
+        x = np.asarray(x, np.float32).reshape(-1)
+        self._pending = np.concatenate([self._pending, x])
+
+        n_chunks = len(self._pending) // CHUNK
+        if n_chunks == 0:
+            self.accumulated_samples = len(self._pending)
+            return self.accumulated_samples
+
+        state = self.state
+        for c in range(n_chunks):
+            chunk = jnp.asarray(self._pending[c * CHUNK:(c + 1) * CHUNK])
+            state = self._jit_stream_step(state, chunk)
+        self.state = state
+        self._frames_seen += n_chunks
+
+        processed = n_chunks * CHUNK
+        self._pending = self._pending[processed:]
+        self.accumulated_samples = len(self._pending)
+        return processed
+
+    def __call__(self, x) -> int:
+        return self._streaming_features(x)
+
+    @property
+    def feature_buffer(self) -> np.ndarray:
+        """Last-120-frames embedding buffer view (numpy, newest last).
+
+        Exposes only the frames actually emitted since reset, so warm-up
+        checks (`nanointerpreter.py:660-662`) see the true fill level.
+        """
+        buf = np.asarray(self.state.feat_buf)
+        n = min(self._frames_seen, FEATURE_BUFFER_FRAMES)
+        return buf[FEATURE_BUFFER_FRAMES - n:]
+
+    def get_features(self, n_feature_frames: int = 16,
+                     start_ndx: int = -1) -> np.ndarray:
+        """[1, n, 96] slice of the feature buffer (AudioFeatures.py:455-461)."""
+        buf = np.asarray(self.state.feat_buf)
+        n = int(n_feature_frames)
+        if start_ndx != -1:
+            end = start_ndx + n if start_ndx + n != 0 else FEATURE_BUFFER_FRAMES
+            return buf[start_ndx:end][None].astype(np.float32)
+        return buf[-n:][None].astype(np.float32)
+
+    def load_encoder_params(self, variables):
+        self.encoder_variables = variables
+        self._jit_stream_step = jax.jit(self._stream_step_impl)
+        self._jit_embed = jax.jit(self._embed_impl)

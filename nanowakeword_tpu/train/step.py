@@ -1,0 +1,127 @@
+"""The jitted training step: forward, loss, logit-reg, clip, update, metrics.
+
+Parity target: the per-step body of the reference training loop
+(`/root/reference/nanowakeword/train/train_model.py:496-664`) — fused into a
+single XLA computation instead of a Python-interpreted torch loop:
+
+    forward (backbone + head)                 train_model.py:505-506
+    bias-weighted / focal loss                train_model.py:508-519
+    asymmetric logit regularisation           train_model.py:529-551
+    grad clip 1.0 + optimizer + schedule      train_model.py:553-561
+    raw per-example BCE (hardness signal)     train_model.py:574-579
+    batch recall / FA / miss / logit means    train_model.py:628-664
+
+The step is donated (`donate_argnums`) so parameter and optimizer buffers are
+updated in place in HBM. Multi-chip data parallelism is layered on by
+`nanowakeword_tpu.parallel.dp` via sharding annotations — the step function
+itself is mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nanowakeword_tpu.train import loss as losses
+
+
+class TrainState(NamedTuple):
+    """Everything the step mutates, as one donatable pytree."""
+    params: Any
+    batch_stats: Any            # {} for BN-free architectures
+    opt_state: Any
+    step: jnp.ndarray           # int32 scalar
+    rng: jax.Array              # PRNG key for dropout
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray           # scalar total loss (incl. regularisation)
+    per_example_bce: jnp.ndarray  # [B] raw BCE — the ISBL hardness signal
+    logits: jnp.ndarray         # [B] detached logits for recall logging
+    grad_norm: jnp.ndarray      # scalar pre-clip global grad norm
+
+
+def create_train_state(module, variables, tx: optax.GradientTransformation,
+                       seed: int = 10) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def make_train_step(module, tx: optax.GradientTransformation, *,
+                    loss_function: str = "bias_weighted",
+                    loss_bias: float = 0.75,
+                    logit_reg_weight: float = 2e-4,
+                    logit_reg_margin: float = 6.0,
+                    afl_gamma_pos: float = 0.0,
+                    afl_gamma_neg: float = 4.0,
+                    donate: bool = True,
+                    jit: bool = True):
+    """Build the (state, features, labels) -> (state, metrics) step function."""
+    loss_fn_name = loss_function.lower()
+    has_bn_sentinel = object()
+
+    def loss_and_aux(params, batch_stats, rng, features, labels):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = module.apply(variables, features, deterministic=False,
+                           rngs={"dropout": rng}, mutable=mutable)
+        logits, updates = out if mutable else (out, {})
+        logits = logits.reshape(-1)
+
+        if loss_fn_name == "asymmetric_focal":
+            total, per_ex = losses.asymmetric_focal_loss(
+                logits, labels, loss_bias,
+                gamma_pos=afl_gamma_pos, gamma_neg=afl_gamma_neg)
+        else:
+            total, per_ex = losses.bias_weighted_loss(logits, labels, loss_bias)
+
+        if logit_reg_weight > 0:
+            total = total + logit_reg_weight * losses.logit_regularisation(
+                logits, labels, logit_reg_margin)
+
+        raw = losses.raw_bce(jax.lax.stop_gradient(logits), labels)
+        new_bs = updates.get("batch_stats", batch_stats)
+        return total, (raw, jax.lax.stop_gradient(logits), new_bs)
+
+    def step_fn(state: TrainState, features, labels):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (total, (raw, logits, new_bs)), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(
+                state.params, state.batch_stats, rng, features, labels)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt_state,
+            step=state.step + 1, rng=state.rng)
+        return new_state, StepMetrics(total, raw, logits, grad_norm)
+
+    if not jit:
+        return step_fn
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(module, jit: bool = True):
+    """(params, batch_stats, features) -> logits [B], eval mode."""
+
+    def eval_fn(params, batch_stats, features):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = module.apply(variables, features, deterministic=True)
+        return logits.reshape(-1)
+
+    return jax.jit(eval_fn) if jit else eval_fn

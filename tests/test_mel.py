@@ -1,0 +1,103 @@
+"""Mel frontend: shape contract, streaming==batch exactness, numeric sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanowakeword_tpu.ops import mel as M
+
+
+def _tone(n, freq=440.0, amp=8000.0, sr=16000):
+    t = np.arange(n) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestShapes:
+    def test_one_second_clip(self):
+        x = _tone(16000)
+        out = M.mel_frontend(x)
+        assert out.shape == (100, M.N_MELS)
+
+    def test_batched(self):
+        x = np.stack([_tone(32000, f) for f in (300, 500, 700)])
+        out = M.mel_frontend(x)
+        assert out.shape == (3, 200, M.N_MELS)
+
+    def test_non_hop_multiple_pads(self):
+        x = _tone(16000 + 37)
+        out = M.mel_frontend(x)
+        assert out.shape == (M.n_mel_frames(16000 + 37), M.N_MELS)
+
+    def test_frames_per_chunk(self):
+        assert M.CHUNK // M.HOP == M.FRAMES_PER_CHUNK == 8
+
+
+class TestStreamingEquivalence:
+    """The hard invariant the reference could not provide
+    (AudioFeatures.py:388-393): streaming mel == whole-clip mel, exactly."""
+
+    @pytest.mark.parametrize("n_chunks", [1, 3, 13])
+    def test_streaming_matches_batch(self, rng, n_chunks):
+        x = rng.integers(-20000, 20000, n_chunks * M.CHUNK).astype(np.float32)
+        batch_out = np.asarray(M.mel_frontend(x, compute_dtype=jnp.float32))
+
+        tail = jnp.zeros(M.LEFT_PAD)
+        frames = []
+        step = jax.jit(
+            lambda t, c: M.mel_streaming_step(t, c, compute_dtype=jnp.float32)
+        )
+        for i in range(n_chunks):
+            tail, f = step(tail, x[i * M.CHUNK:(i + 1) * M.CHUNK])
+            frames.append(np.asarray(f))
+        stream_out = np.concatenate(frames, axis=0)
+
+        assert stream_out.shape == batch_out.shape
+        np.testing.assert_array_equal(stream_out, batch_out)
+
+    def test_streaming_matches_batch_bf16(self, rng):
+        """Same invariant holds in the production bfloat16 compute path."""
+        x = rng.integers(-20000, 20000, 5 * M.CHUNK).astype(np.float32)
+        batch_out = np.asarray(M.mel_frontend(x))
+        tail = jnp.zeros(M.LEFT_PAD)
+        frames = []
+        for i in range(5):
+            tail, f = M.mel_streaming_step(tail, x[i * M.CHUNK:(i + 1) * M.CHUNK])
+            frames.append(np.asarray(f))
+        np.testing.assert_array_equal(np.concatenate(frames, 0), batch_out)
+
+
+class TestNumerics:
+    def test_tone_peaks_at_expected_mel_bin(self):
+        """A 1 kHz tone must concentrate energy in the right mel band."""
+        x = _tone(16000, freq=1000.0)
+        out = np.asarray(M.mel_frontend(x, compute_dtype=jnp.float32))
+        mid = out[20:80]  # steady-state frames
+        peak_bin = int(np.argmax(mid.mean(axis=0)))
+        # bin centres: mel-spaced 60..3800 over 32 bins; 1 kHz lands mid-scale
+        cos_m, sin_m, fb = M._dft_mel_matrices("float32")
+        bin_freqs = np.arange(M.N_FFT // 2 + 1) * M.SAMPLE_RATE / M.N_FFT
+        centre = float((np.asarray(fb)[:, peak_bin] * bin_freqs).sum()
+                       / np.asarray(fb)[:, peak_bin].sum())
+        assert abs(centre - 1000.0) < 150.0
+
+    def test_silence_hits_floor(self):
+        x = np.zeros(16000, np.float32)
+        out = np.asarray(M.mel_frontend(x, compute_dtype=jnp.float32))
+        np.testing.assert_allclose(out, np.log10(M.MEL_EPS) + M.LOG_OFFSET, atol=1e-5)
+
+    def test_scale_matches_reference_transform(self):
+        """Louder audio -> larger values on the x/10+2 transformed dB scale:
+        10x amplitude = +20 dB = +2.0 on the transformed scale."""
+        quiet = np.asarray(M.mel_frontend(_tone(16000, amp=300.0),
+                                          compute_dtype=jnp.float32))
+        loud = np.asarray(M.mel_frontend(_tone(16000, amp=3000.0),
+                                         compute_dtype=jnp.float32))
+        peak = int(np.argmax(loud[50]))
+        assert loud[50, peak] - quiet[50, peak] == pytest.approx(2.0, abs=0.05)
+
+    def test_bf16_close_to_f32(self, rng):
+        x = rng.integers(-20000, 20000, 16000).astype(np.float32)
+        a = np.asarray(M.mel_frontend(x, compute_dtype=jnp.float32))
+        b = np.asarray(M.mel_frontend(x, compute_dtype=jnp.bfloat16))
+        assert np.abs(a - b).mean() < 0.05

@@ -1,0 +1,121 @@
+"""Train step: loss decreases, hardness signal flows, DP sharding works."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanowakeword_tpu.models.model import Model
+from nanowakeword_tpu.parallel import dp, mesh as M
+from nanowakeword_tpu.train.optim import build_optimizer
+from nanowakeword_tpu.train.step import (create_train_state, make_eval_step,
+                                         make_train_step)
+
+INPUT_SHAPE = (16, 96)
+CFG = {"activation_function": "relu", "embedding_dim": 32,
+       "optimizer_type": "adamw", "learning_rate_max": 3e-3,
+       "lr_scheduler_type": "onecycle", "weight_decay": 0.01}
+
+
+def _toy_batch(rng, n=64):
+    """Separable toy data: positives have a +1 offset in the features."""
+    labels = (rng.random(n) < 0.5).astype(np.float32)
+    feats = rng.normal(size=(n,) + INPUT_SHAPE).astype(np.float32)
+    feats += labels[:, None, None] * 1.0
+    return jnp.asarray(feats), jnp.asarray(labels)
+
+
+def test_loss_decreases_on_separable_data(rng):
+    model = Model(config=dict(CFG), model_name="t", input_shape=INPUT_SHAPE,
+                  model_type="dnn", layer_dim=32, n_blocks=1,
+                  dropout_prob=0.1)
+    tx = build_optimizer(CFG, total_steps=60)
+    state = create_train_state(model.module, model.variables, tx)
+    step = make_train_step(model.module, tx, loss_bias=0.75)
+
+    feats, labels = _toy_batch(rng)
+    first = None
+    for i in range(60):
+        state, metrics = step(state, feats, labels)
+        if i == 0:
+            first = float(metrics.loss)
+    last = float(metrics.loss)
+    assert last < first * 0.5, (first, last)
+    assert int(state.step) == 60
+
+
+def test_metrics_shapes_and_hardness_signal(rng):
+    model = Model(config=dict(CFG), model_name="t", input_shape=INPUT_SHAPE,
+                  model_type="dnn", layer_dim=16, n_blocks=1)
+    tx = build_optimizer(CFG, total_steps=10)
+    state = create_train_state(model.module, model.variables, tx)
+    step = make_train_step(model.module, tx)
+    feats, labels = _toy_batch(rng, n=32)
+    state, metrics = step(state, feats, labels)
+    assert metrics.per_example_bce.shape == (32,)
+    assert metrics.logits.shape == (32,)
+    assert float(metrics.grad_norm) > 0
+    assert np.isfinite(np.asarray(metrics.per_example_bce)).all()
+
+
+def test_batchnorm_arch_trains(rng):
+    cfg = dict(CFG)
+    cfg.update({"crnn_cnn_channels": [8], "crnn_rnn_type": "gru"})
+    model = Model(config=cfg, model_name="t", input_shape=INPUT_SHAPE,
+                  model_type="crnn", layer_dim=16, n_blocks=1)
+    tx = build_optimizer(cfg, total_steps=5)
+    state = create_train_state(model.module, model.variables, tx)
+    step = make_train_step(model.module, tx)
+    feats, labels = _toy_batch(rng, n=16)
+    bs_before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    state, _ = step(state, feats, labels)
+    bs_after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(bs_before), np.asarray(bs_after))
+
+
+def test_data_parallel_matches_single_device(rng):
+    """DP over the 8-device CPU mesh computes the same update as 1 device."""
+    model = Model(config=dict(CFG), model_name="t", input_shape=INPUT_SHAPE,
+                  model_type="dnn", layer_dim=16, n_blocks=1,
+                  dropout_prob=0.0)
+    tx = build_optimizer(CFG, total_steps=5)
+    feats, labels = _toy_batch(rng, n=64)
+
+    # single device
+    s1 = create_train_state(model.module, model.variables, tx)
+    step1 = make_train_step(model.module, tx, donate=False)
+    s1, m1 = step1(s1, feats, labels)
+
+    # 8-device data parallel
+    mesh = M.make_mesh(8)
+    s8 = dp.shard_train_step_state = dp.shard_train_state(
+        create_train_state(model.module, model.variables, tx), mesh)
+    step8 = dp.make_dp_train_step(model.module, tx, mesh)
+    f8, l8 = dp.device_put_batch(np.asarray(feats), np.asarray(labels), mesh)
+    s8, m8 = step8(s8, f8, l8)
+
+    np.testing.assert_allclose(float(m1.loss), float(m8.loss), rtol=1e-5)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_tensor_parallel_shards_wide_kernels():
+    mesh = M.make_mesh(8, model_parallel=2)
+    params = {"dense": {"kernel": jnp.zeros((128, 512)),
+                        "bias": jnp.zeros((512,))},
+              "small": {"kernel": jnp.zeros((16, 8))}}
+    shardings = M.param_shardings(params, mesh)
+    wide = shardings["dense"]["kernel"].spec
+    assert wide == jax.sharding.PartitionSpec(None, M.MODEL_AXIS)
+    assert shardings["small"]["kernel"].spec == jax.sharding.PartitionSpec()
+
+
+def test_eval_step(rng):
+    model = Model(config=dict(CFG), model_name="t", input_shape=INPUT_SHAPE,
+                  model_type="dnn", layer_dim=16, n_blocks=1)
+    ev = make_eval_step(model.module)
+    feats, _ = _toy_batch(rng, n=8)
+    out = ev(model.params, {}, feats)
+    assert out.shape == (8,)
