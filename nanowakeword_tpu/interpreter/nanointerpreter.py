@@ -1,0 +1,623 @@
+"""NanoInterpreter: the streaming wake-word inference engine.
+
+Parity target: `/root/reference/nanowakeword/interpreter/nanointerpreter.py` —
+`DetectionResult` (`:45-115`) and `NanoInterpreter` (`:117-954`) with the same
+public surface: `load_model()` (cascade auto-discovery, explicit gate, remote
+verifier, no-local-model), `predict()` (warm-up guards, cascade skip, VAD
+gate, patience/debounce post-filters), `predict_clip()`, `listen()`,
+`reset()`, `detected()`, `stop()`, the score properties and `info`.
+
+TPU-native differences:
+* models are `.nww` artifacts loaded into jitted Flax applies — no
+  onnxruntime; a "session" here is `lambda feats: sigmoid(module.apply(...))`.
+* stateful models thread an explicit carry pytree instead of
+  hidden_in/cell_in input tensors (`nanointerpreter.py:679-687`).
+* the preprocessor is our jit-compiled AudioFeatures whose streaming path is
+  numerically identical to the batch path.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+import wave
+from collections import defaultdict, deque
+from functools import partial
+from typing import Callable, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanowakeword_tpu.data.features import AudioFeatures
+from nanowakeword_tpu.export.artifact import EXTENSION, load_nww
+
+try:
+    import noisereduce as nr
+    NOISEREDUCE_AVAILABLE = True
+except ImportError:
+    NOISEREDUCE_AVAILABLE = False
+
+
+class DetectionResult:
+    """Rich result object returned by predict() (nanointerpreter.py:45-115)."""
+
+    __slots__ = ("scores", "model_name", "gate_name", "threshold", "_detected")
+
+    def __init__(self, scores: dict, model_name: str,
+                 gate_name: Optional[str], threshold: float = 0.0):
+        self.scores = scores
+        self.model_name = model_name
+        self.gate_name = gate_name
+        self.threshold = threshold
+        self._detected = None
+
+    @property
+    def score(self) -> float:
+        return self.scores.get(self.model_name, 0.0)
+
+    @property
+    def gate_score(self) -> float:
+        if self.gate_name:
+            return self.scores.get(self.gate_name, 0.0)
+        return 0.0
+
+    @property
+    def detected(self) -> bool:
+        return self.score >= self.threshold if self.threshold > 0 else False
+
+    def get(self, model_name: str, default: float = 0.0) -> float:
+        return self.scores.get(model_name, default)
+
+    def __getitem__(self, key: str) -> float:
+        return self.scores[key]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.scores
+
+    def __repr__(self) -> str:
+        parts = [f"score={self.score:.4f}"]
+        if self.gate_name:
+            parts.append(f"gate={self.gate_score:.4f}")
+        if self.threshold > 0:
+            parts.append(f"detected={self.detected}")
+        return f"DetectionResult({', '.join(parts)})"
+
+
+class _LocalSession:
+    """A jitted eval session over a loaded .nww Model (the onnxruntime
+    InferenceSession analogue). Outputs sigmoid probability, matching the
+    reference's exported-graph contract (_export/onnx.py:35-44)."""
+
+    def __init__(self, model, header):
+        self.model = model
+        self.header = header
+        self.stateful = bool(header.get("stateful", False))
+        if self.stateful:
+            def run_stateful(variables, feats, carry):
+                logits, new_carry = model.module.apply(
+                    variables, feats, carry=carry, deterministic=True)
+                return jax.nn.sigmoid(logits), new_carry
+            self._fn = jax.jit(run_stateful)
+        else:
+            def run(variables, feats):
+                logits = model.module.apply(variables, feats,
+                                            deterministic=True)
+                return jax.nn.sigmoid(logits)
+            self._fn = jax.jit(run)
+
+    @property
+    def feature_length(self) -> int:
+        return int(self.header["input_shape"][0])
+
+    def run(self, feats: np.ndarray, carry=None):
+        feats = jnp.asarray(feats, jnp.float32)
+        if self.stateful:
+            probs, new_carry = self._fn(self.model.variables, feats, carry)
+            return float(np.asarray(probs).reshape(-1)[0]), new_carry
+        probs = self._fn(self.model.variables, feats)
+        return float(np.asarray(probs).reshape(-1)[0]), None
+
+
+class NanoInterpreter:
+    """Main inference engine. Use `NanoInterpreter.load_model()`."""
+
+    def __init__(self, wakeword_models: List[str], **kwargs):
+        self.models: Dict[str, object] = {}
+        self.model_feature_length: Dict[str, int] = {}
+        self.is_stateful: Dict[str, bool] = {}
+        self.hidden_states: Dict[str, object] = {}
+        self.class_mapping: Dict[str, Dict[str, str]] = {}
+        self.raw_scores: Dict[str, float] = {}
+        self.post_processed_scores: Dict[str, float] = {}
+
+        encoder_vars = kwargs.pop("encoder_variables", None)
+        for mdl_path in wakeword_models:
+            mdl_name = os.path.splitext(os.path.basename(mdl_path))[0]
+            if mdl_name in self.models:
+                logging.warning(f"Model '{mdl_name}' already loaded. Skipping.")
+                continue
+            header, model, enc_vars = load_nww(mdl_path)
+            session = _LocalSession(model, header)
+            self.models[mdl_name] = session
+            self.model_feature_length[mdl_name] = session.feature_length
+            self.is_stateful[mdl_name] = session.stateful
+            self.hidden_states[mdl_name] = None
+            self.class_mapping[mdl_name] = {"0": mdl_name}
+            self.raw_scores[mdl_name] = 0.0
+            self.post_processed_scores[mdl_name] = 0.0
+            if encoder_vars is None and enc_vars is not None:
+                encoder_vars = enc_vars
+
+        self._setup_components(encoder_variables=encoder_vars, **kwargs)
+        self.cascade_config: dict = {}
+        self._listen_thread: Optional[threading.Thread] = None
+        self._stop_event: Optional[threading.Event] = None
+
+    # -- properties (nanointerpreter.py:180-258) --------------------------------
+
+    @property
+    def is_cascade(self) -> bool:
+        return bool(self.cascade_config)
+
+    @property
+    def model_name(self) -> str:
+        if self.is_cascade:
+            return self.cascade_config["verifier"]
+        return next(iter(self.models))
+
+    @property
+    def gate_name(self) -> Optional[str]:
+        return self.cascade_config.get("gate")
+
+    @property
+    def gate_score(self) -> float:
+        if self.gate_name:
+            return self.post_processed_scores.get(self.gate_name, 0.0)
+        return 0.0
+
+    @property
+    def verifier_score(self) -> float:
+        return self.post_processed_scores.get(self.model_name, 0.0)
+
+    @property
+    def score(self) -> float:
+        return self.verifier_score
+
+    @property
+    def info(self) -> dict:
+        from nanowakeword_tpu.interpreter.remote_verifier import _RemoteSession
+        verifier_name = self.cascade_config.get("verifier", self.model_name)
+        is_remote = isinstance(self.models.get(verifier_name), _RemoteSession)
+        d = {
+            "model_name": self.model_name,
+            "is_cascade": self.is_cascade,
+            "is_remote": is_remote,
+            "gate_name": self.gate_name,
+            "gate_threshold": self.cascade_config.get("gate_threshold", None),
+            "loaded_models": list(self.models.keys()),
+            "score": self.score,
+            "gate_score": self.gate_score,
+            "raw_scores": dict(self.raw_scores),
+        }
+        if is_remote:
+            d["remote_uri"] = self.models[verifier_name].uri
+        return d
+
+    def __repr__(self) -> str:
+        if self.is_cascade:
+            return (f"NanoInterpreter(model='{self.model_name}', "
+                    f"gate='{self.gate_name}', gate_threshold="
+                    f"{self.cascade_config.get('gate_threshold', 0.3)})")
+        models = list(self.models.keys())
+        if len(models) == 1:
+            return f"NanoInterpreter(model='{models[0]}')"
+        return f"NanoInterpreter(models={models})"
+
+    def detected(self, threshold: float, model: Optional[str] = None) -> bool:
+        name = model or self.model_name
+        return self.post_processed_scores.get(name, 0.0) >= threshold
+
+    def stop(self) -> None:
+        if self._stop_event is not None:
+            self._stop_event.set()
+        if self._listen_thread is not None and self._listen_thread.is_alive():
+            self._listen_thread.join(timeout=2.0)
+        self._listen_thread = None
+        self._stop_event = None
+
+    # -- load_model (nanointerpreter.py:295-528) ----------------------------------
+
+    @classmethod
+    def load_model(cls,
+                   model: Union[str, List[str], None] = None,
+                   cascade: bool = False,
+                   gate_model: Optional[str] = None,
+                   gate_threshold: float = 0.3,
+                   remote_verifier: Optional[str] = None,
+                   remote_pipeline: str = "verifier_only",
+                   remote_timeout: float = 2.0,
+                   remote_api_key: Optional[str] = None,
+                   remote_token: Optional[str] = None,
+                   remote_ssl_certfile: Optional[str] = None,
+                   remote_ssl_keyfile: Optional[str] = None,
+                   remote_ssl_ca_certs: Optional[str] = None,
+                   **kwargs):
+        from nanowakeword_tpu.interpreter.remote_verifier import \
+            _VALID_PIPELINES
+
+        if remote_pipeline not in _VALID_PIPELINES:
+            raise ValueError(f"Invalid remote_pipeline '{remote_pipeline}'. "
+                             f"Choose from: {sorted(_VALID_PIPELINES)}")
+
+        paths: List[str] = []
+        if model is not None:
+            if isinstance(model, str):
+                paths = [model]
+            elif isinstance(model, list):
+                paths = model
+            else:
+                raise TypeError("`model` must be a string, list of strings, "
+                                "or None.")
+            for path in paths:
+                if not os.path.exists(path):
+                    raise FileNotFoundError(f"Model file not found: {path}")
+
+        remote_cfg: Optional[dict] = None
+        if remote_verifier is not None:
+            if len(paths) > 1:
+                raise ValueError(
+                    "remote_verifier supports at most one local model path "
+                    "(the gate). The verifier runs on the remote server.")
+            if paths:
+                gate_stem = os.path.splitext(os.path.basename(paths[0]))[0]
+                verifier_stem = (gate_stem[:-5] if gate_stem.endswith("_lite")
+                                 else gate_stem + "_remote")
+            else:
+                gate_stem = None
+                verifier_stem = "remote_model"
+            remote_cfg = {
+                "gate": gate_stem, "verifier": verifier_stem,
+                "gate_threshold": gate_threshold, "uri": remote_verifier,
+                "pipeline": remote_pipeline, "timeout": remote_timeout,
+                "api_key": remote_api_key, "token": remote_token,
+                "ssl_certfile": remote_ssl_certfile,
+                "ssl_keyfile": remote_ssl_keyfile,
+                "ssl_ca_certs": remote_ssl_ca_certs,
+            }
+            logging.info(
+                f"[NanoInterpreter] Remote mode: gate='{gate_stem or 'none'}' "
+                f"(local) -> verifier='{verifier_stem}' "
+                f"(remote @ {remote_verifier}, pipeline='{remote_pipeline}')")
+
+        cascade_cfg: dict = {}
+        effective_cascade = cascade or (gate_model is not None)
+        if remote_cfg is None and effective_cascade and len(paths) == 1:
+            main_path = paths[0]
+            stem = os.path.splitext(os.path.basename(main_path))[0]
+            if gate_model is not None:
+                if not os.path.exists(gate_model):
+                    raise FileNotFoundError(
+                        f"The specified gate model does not exist: {gate_model}")
+                resolved_gate_path = gate_model
+                gate_name = os.path.splitext(os.path.basename(gate_model))[0]
+                logging.info(f"[NanoInterpreter] Cascade (custom gate): "
+                             f"gate='{gate_name}' -> verifier='{stem}'")
+            else:
+                model_dir = os.path.dirname(os.path.abspath(main_path))
+                gate_name = stem + "_lite"
+                resolved_gate_path = os.path.join(model_dir,
+                                                  gate_name + EXTENSION)
+                if not os.path.exists(resolved_gate_path):
+                    logging.warning(
+                        f"[NanoInterpreter] cascade=True but no lite model at "
+                        f"'{resolved_gate_path}'. Falling back to single-model "
+                        "mode. Generate one with: nanowakeword-tpu -c "
+                        "config.yaml --distill")
+                    resolved_gate_path = None
+                else:
+                    logging.info(
+                        f"[NanoInterpreter] Cascade (auto-discovered): "
+                        f"gate='{gate_name}' -> verifier='{stem}'")
+            if resolved_gate_path:
+                paths = [resolved_gate_path, main_path]
+                cascade_cfg = {"gate": gate_name, "verifier": stem,
+                               "gate_threshold": gate_threshold}
+
+        no_local_models = (remote_cfg is not None and not paths)
+        if no_local_models:
+            instance = cls.__new__(cls)
+            instance.models = {}
+            instance.model_feature_length = {}
+            instance.is_stateful = {}
+            instance.hidden_states = {}
+            instance.class_mapping = {}
+            instance.raw_scores = {}
+            instance.post_processed_scores = {}
+            instance.cascade_config = {}
+            instance._listen_thread = None
+            instance._stop_event = None
+            instance._setup_components_no_preprocessor(**kwargs)
+        else:
+            instance = cls(wakeword_models=paths, **kwargs)
+
+        if remote_cfg is not None:
+            instance._inject_remote_session(remote_cfg)
+            instance.cascade_config = {
+                "gate": remote_cfg["gate"],
+                "verifier": remote_cfg["verifier"],
+                "gate_threshold": remote_cfg["gate_threshold"],
+            }
+            if remote_cfg["gate"] is None:
+                instance.cascade_config = {}
+        else:
+            instance.cascade_config = cascade_cfg
+        return instance
+
+    def _inject_remote_session(self, remote_cfg: dict) -> None:
+        from nanowakeword_tpu.interpreter.remote_verifier import _RemoteSession
+        verifier_name = remote_cfg["verifier"]
+        session = _RemoteSession(
+            uri=remote_cfg["uri"], model_name=verifier_name,
+            pipeline=remote_cfg["pipeline"], timeout=remote_cfg["timeout"],
+            api_key=remote_cfg.get("api_key"), token=remote_cfg.get("token"),
+            ssl_certfile=remote_cfg.get("ssl_certfile"),
+            ssl_keyfile=remote_cfg.get("ssl_keyfile"),
+            ssl_ca_certs=remote_cfg.get("ssl_ca_certs"))
+        self.models[verifier_name] = session
+        self.model_feature_length[verifier_name] = session.feature_length
+        self.is_stateful[verifier_name] = False
+        self.hidden_states[verifier_name] = None
+        self.raw_scores[verifier_name] = 0.0
+        self.post_processed_scores[verifier_name] = 0.0
+        self.class_mapping[verifier_name] = {"0": verifier_name}
+        logging.info(f"[NanoInterpreter] Remote verifier '{verifier_name}' "
+                     f"registered (pipeline='{remote_cfg['pipeline']}').")
+
+    # -- component setup (nanointerpreter.py:893-912) -------------------------------
+
+    def _setup_components(self, **kwargs):
+        self.prediction_buffer = defaultdict(partial(deque, maxlen=30))
+        enable_nr = kwargs.pop("enable_noise_reduction", False)
+        self.noise_reducer_enabled = enable_nr
+        if enable_nr and not NOISEREDUCE_AVAILABLE:
+            logging.warning("`enable_noise_reduction` is True, but "
+                            "`noisereduce` is not installed. Disabling.")
+            self.noise_reducer_enabled = False
+        self.vad_threshold = kwargs.pop("vad_threshold", 0)
+        if self.vad_threshold > 0:
+            from nanowakeword_tpu.interpreter.vad import VAD
+            self.vad = VAD()
+        self.preprocessor = AudioFeatures(**kwargs)
+
+    def _setup_components_no_preprocessor(self, **kwargs):
+        self.prediction_buffer = defaultdict(partial(deque, maxlen=30))
+        enable_nr = kwargs.pop("enable_noise_reduction", False)
+        self.noise_reducer_enabled = enable_nr and NOISEREDUCE_AVAILABLE
+        self.vad_threshold = kwargs.pop("vad_threshold", 0)
+        if self.vad_threshold > 0:
+            from nanowakeword_tpu.interpreter.vad import VAD
+            self.vad = VAD()
+        self.preprocessor = None
+
+    # -- predict (nanointerpreter.py:592-722) ----------------------------------------
+
+    def predict(self, x: np.ndarray, patience: dict = {},
+                threshold: dict = {},
+                debounce_time: float = 0.0) -> DetectionResult:
+        if not isinstance(x, np.ndarray):
+            raise ValueError("Input audio `x` must be a Numpy array.")
+
+        if self.noise_reducer_enabled:
+            x = self._reduce_noise(x)
+
+        # full-remote: no local preprocessor, raw audio to the server
+        if self.preprocessor is None:
+            current_raw_preds = {}
+            for mdl_name, session in self.models.items():
+                score = session.run_audio(x)
+                self.raw_scores[mdl_name] = score
+                if len(self.prediction_buffer.get(mdl_name, [])) < 5:
+                    score = 0.0
+                current_raw_preds[mdl_name] = score
+            for mdl_name, score in current_raw_preds.items():
+                self.prediction_buffer[mdl_name].append(score)
+                self.post_processed_scores[mdl_name] = score
+            return DetectionResult(scores=dict(current_raw_preds),
+                                   model_name=self.model_name,
+                                   gate_name=self.gate_name)
+
+        n_prepared_samples = self.preprocessor(x)
+        if n_prepared_samples < 1280:
+            return DetectionResult(scores=dict(self.post_processed_scores),
+                                   model_name=self.model_name,
+                                   gate_name=self.gate_name)
+
+        current_raw_preds = {}
+        for mdl_name, session in self.models.items():
+            required_frames = self.model_feature_length[mdl_name]
+
+            # warm-up guard (nanointerpreter.py:660-662)
+            if self.preprocessor.feature_buffer.shape[0] < required_frames:
+                current_raw_preds[mdl_name] = 0.0
+                continue
+
+            # cascade gate check (nanointerpreter.py:665-674)
+            if self.cascade_config:
+                gate_name_ = self.cascade_config["gate"]
+                verifier_name = self.cascade_config["verifier"]
+                gate_thr = self.cascade_config["gate_threshold"]
+                if mdl_name == verifier_name:
+                    if current_raw_preds.get(gate_name_, 0.0) < gate_thr:
+                        current_raw_preds[mdl_name] = 0.0
+                        continue
+
+            features = self.preprocessor.get_features(required_frames)
+            if self.is_stateful.get(mdl_name, False):
+                score, new_carry = session.run(
+                    features, carry=self.hidden_states.get(mdl_name))
+                self.hidden_states[mdl_name] = new_carry
+            else:
+                score, _ = session.run(features)
+
+            self.raw_scores[mdl_name] = score
+            # zero initial predictions (nanointerpreter.py:694-696)
+            if len(self.prediction_buffer.get(mdl_name, [])) < 5:
+                score = 0.0
+            current_raw_preds[mdl_name] = score
+
+        final_predictions = current_raw_preds.copy()
+
+        # VAD gate over frames [-7:-4] (nanointerpreter.py:703-709)
+        if self.vad_threshold > 0:
+            self.vad(x)
+            vad_frames = list(self.vad.prediction_buffer)[-7:-4]
+            vad_max = np.max(vad_frames) if len(vad_frames) > 0 else 0
+            if vad_max < self.vad_threshold:
+                for mdl_name in final_predictions:
+                    final_predictions[mdl_name] = 0.0
+
+        self._apply_post_processing(final_predictions, patience, threshold,
+                                    debounce_time, n_prepared_samples)
+
+        for mdl_name, score in final_predictions.items():
+            self.prediction_buffer[mdl_name].append(score)
+            self.post_processed_scores[mdl_name] = score
+
+        return DetectionResult(scores=dict(final_predictions),
+                               model_name=self.model_name,
+                               gate_name=self.gate_name)
+
+    def reset(self):
+        self.prediction_buffer.clear()
+        if self.preprocessor is not None:
+            self.preprocessor.reset()
+        for mdl_name in self.hidden_states:
+            self.hidden_states[mdl_name] = None
+        for mdl_name in self.raw_scores:
+            self.raw_scores[mdl_name] = 0.0
+            self.post_processed_scores[mdl_name] = 0.0
+
+    def predict_clip(self, clip: Union[str, np.ndarray],
+                     chunk_size: int = 1280, **kwargs) -> list:
+        """Predict on a full clip by simulating a stream
+        (nanointerpreter.py:738-751)."""
+        if isinstance(clip, str):
+            with wave.open(clip, mode="rb") as f:
+                if (f.getframerate() != 16000 or f.getsampwidth() != 2
+                        or f.getnchannels() != 1):
+                    raise ValueError("Audio clip must be a 16kHz, 16-bit, "
+                                     "single-channel WAV file.")
+                data = np.frombuffer(f.readframes(f.getnframes()),
+                                     dtype=np.int16)
+        elif isinstance(clip, np.ndarray):
+            data = clip
+        else:
+            raise TypeError("`clip` must be a file path or a numpy array.")
+        return [self.predict(data[i:i + chunk_size], **kwargs)
+                for i in range(0, len(data), chunk_size)]
+
+    def listen(self,
+               on_detection: Optional[Callable[[str, float], None]] = None,
+               threshold: float = 0.5,
+               cooldown: float = 1.0,
+               chunk_size: int = 1280,
+               on_score: Optional[Callable[[float, float], None]] = None,
+               on_audio: Optional[Callable[[np.ndarray], None]] = None,
+               blocking: bool = True) -> None:
+        """Microphone loop (nanointerpreter.py:753-863). Requires pyaudio."""
+        try:
+            import pyaudio
+        except ImportError:
+            raise ImportError("PyAudio is required for listen(). Install it "
+                              "with: pip install pyaudio")
+
+        if on_detection is None:
+            def on_detection(name: str, score: float) -> None:
+                print(f"\nDetected '{name}'!  (score: {score:.5f})")
+
+        def _loop():
+            pa = pyaudio.PyAudio()
+            stream = pa.open(format=pyaudio.paInt16, channels=1, rate=16000,
+                             input=True, frames_per_buffer=chunk_size)
+            last_detection = 0.0
+            stop_event = self._stop_event
+            try:
+                while not (stop_event and stop_event.is_set()):
+                    audio = np.frombuffer(
+                        stream.read(chunk_size, exception_on_overflow=False),
+                        dtype=np.int16)
+                    if on_audio is not None:
+                        on_audio(audio)
+                    self.predict(audio)
+                    v_score, g_score = self.verifier_score, self.gate_score
+                    if on_score is not None:
+                        on_score(v_score, g_score)
+                    now = time.monotonic()
+                    if (v_score > threshold
+                            and (now - last_detection) > cooldown):
+                        on_detection(self.model_name, v_score)
+                        last_detection = now
+                        self.reset()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                stream.stop_stream()
+                stream.close()
+                pa.terminate()
+
+        if blocking:
+            _loop()
+        else:
+            self._stop_event = threading.Event()
+            self._listen_thread = threading.Thread(target=_loop, daemon=True)
+            self._listen_thread.start()
+
+    # -- helpers ----------------------------------------------------------------
+
+    def _reduce_noise(self, x: np.ndarray) -> np.ndarray:
+        try:
+            audio_float = x.astype(np.float32) / 32767.0
+            reduced = nr.reduce_noise(y=audio_float, sr=16000, stationary=True)
+            return (reduced * 32767.0).astype(np.int16)
+        except Exception as e:  # noqa: BLE001
+            logging.warning(f"Noise reduction failed: {e}. Returning original "
+                            "audio.")
+            return x
+
+    def _apply_post_processing(self, predictions, patience, threshold,
+                               debounce_time, n_prepared_samples):
+        """Patience / debounce filters (nanointerpreter.py:924-954)."""
+        if not patience and debounce_time <= 0:
+            return
+        if (patience or debounce_time > 0) and not threshold:
+            raise ValueError("`threshold` must be provided when using "
+                             "`patience` or `debounce_time`.")
+        if patience and debounce_time > 0:
+            raise ValueError("`patience` and `debounce_time` cannot be used "
+                             "together.")
+
+        for mdl_name in predictions.keys():
+            if predictions[mdl_name] == 0.0:
+                continue
+            if mdl_name in patience:
+                required = patience[mdl_name]
+                if len(self.prediction_buffer[mdl_name]) < required:
+                    predictions[mdl_name] = 0.0
+                    continue
+                recent = np.array(
+                    list(self.prediction_buffer[mdl_name])[-(required - 1):]
+                    + [predictions[mdl_name]])
+                if (recent >= threshold[mdl_name]).sum() < required:
+                    predictions[mdl_name] = 0.0
+            elif debounce_time > 0 and mdl_name in threshold:
+                frame_dur = n_prepared_samples / 16000.0
+                if frame_dur <= 0:
+                    continue
+                n_check = int(np.ceil(debounce_time / frame_dur))
+                recent = np.array(self.prediction_buffer[mdl_name])[-n_check:]
+                if (predictions[mdl_name] >= threshold[mdl_name]
+                        and (recent >= threshold[mdl_name]).any()):
+                    predictions[mdl_name] = 0.0

@@ -49,10 +49,19 @@ class SpeechEmbeddingEncoder(nn.Module):
 
     Input:  [B, T, 32]  transformed log-mel (T >= 76)
     Output: [B, (T-76)//8 + 1, 96]
+
+    `precision` defaults to HIGHEST: XLA's default TPU conv precision rounds
+    f32 operands to bfloat16 on the MXU, and the rounding error differs
+    between input shapes — which would break the streaming == batch guarantee
+    at the ~5e-3 level (measured). HIGHEST keeps both paths within f32
+    accumulation noise of each other. Throughput-critical bulk extraction can
+    opt into `precision=None` (bf16 MXU passes) where 0.5% feature noise is
+    irrelevant, e.g. training-set feature generation.
     """
 
     features: tuple = (32, 48, 64, EMBEDDING_DIM)
     dtype: jnp.dtype = jnp.float32
+    precision: object = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -65,9 +74,11 @@ class SpeechEmbeddingEncoder(nn.Module):
         ]
         for feats, (kernel, stride) in zip(self.features, specs):
             x = nn.Conv(feats, kernel_size=kernel, strides=stride,
-                        padding="VALID", dtype=self.dtype)(x)
+                        padding="VALID", dtype=self.dtype,
+                        precision=self.precision)(x)
             x = nn.relu(x)
         # [B, T', 1, 96] -> [B, T', 96]; final linear mixes channels per frame
         x = x.squeeze(axis=2)
-        x = nn.Dense(EMBEDDING_DIM, dtype=self.dtype)(x)
+        x = nn.Dense(EMBEDDING_DIM, dtype=self.dtype,
+                     precision=self.precision)(x)
         return x

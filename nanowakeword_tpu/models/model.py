@@ -190,6 +190,8 @@ class Model:
         self.input_shape = tuple(int(s) for s in input_shape)
         self.seconds_per_example = seconds_per_example
         self.history = collections.defaultdict(list)
+        self._build_args = {"layer_dim": layer_dim, "n_blocks": n_blocks,
+                            "dropout_prob": dropout_prob}
 
         if self.model_type in UNSTABLE_ARCHS:
             print_info(

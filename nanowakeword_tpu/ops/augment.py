@@ -1,0 +1,241 @@
+"""On-device audio augmentation: SNR mixing, gain, pitch/speed, RIR, volume.
+
+Parity target: the augmentation semantics of
+`/root/reference/nanowakeword/data/augment_clips.py` — `_mix_snr` with RMS
+floors (`:45-79`), random foreground placement (`:218-231`), Gain p=1.0,
+PitchShift p=0.5 ±2 st, optional ApplyImpulseResponse p=0.5 (`:150-158`),
+peak-normalised random volume in [0.5, 1.0] (`:246-255`), clamp -> int16.
+
+TPU-native redesign: the reference runs torch_audiomentations module-by-module
+on CUDA with host round-trips; here the whole chain is ONE jitted, vmapped
+function over the batch with explicit PRNG keys — fixed shapes, no host sync,
+fusible by XLA. RIR is FFT convolution. Pitch shift is resampling-based
+(pitch and tempo move together): unlike a phase vocoder it is fully static-
+shape and artifact-free, and tempo variation is itself a useful speech
+augmentation. SpecAugment (time/freq masking on mel) is provided as a new
+capability for the training path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1.19209e-07          # float32 eps, matches torch.finfo(float32).eps
+MIN_BG_RMS = 0.005         # augment_clips.py:62
+MIN_FG_RMS = 0.01          # -40 dBFS floor, augment_clips.py:73
+INT16_MAX = 32767.0
+
+DEFAULT_SETTINGS = {
+    "rir_prob": 0.5, "gain_prob": 1.0, "pitch_prob": 0.5,
+    "min_pitch_semitones": -2.0, "max_pitch_semitones": 2.0,
+    "max_snr_in_db": 30.0, "min_snr_in_db": 5.0,
+    "min_gain_in_db": -3.0, "max_gain_in_db": 3.0,
+    "min_volume_augmentation": 0.5, "max_volume_augmentation": 1.0,
+}
+
+
+def _rms(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.mean(x * x) + EPS)
+
+
+def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
+            snr_db: jnp.ndarray, has_bg: jnp.ndarray) -> jnp.ndarray:
+    """Place fg into bg at `offset` with the given SNR (floats in [-1, 1]).
+
+    Matches `_mix_snr` (augment_clips.py:45-79): background RMS floored at
+    MIN_BG_RMS, scaled foreground floored at MIN_FG_RMS. When has_bg is
+    False, the foreground is placed at offset 0 on silence without SNR
+    scaling (augment_clips.py:218-231).
+    """
+    n = fg.shape[-1]
+    fg_rms = _rms(fg)
+    bg_rms = jnp.maximum(_rms(bg), MIN_BG_RMS)
+    snr_linear = 10.0 ** (snr_db / 20.0)
+    scale = snr_linear * bg_rms / fg_rms
+    scaled_rms = scale * fg_rms
+    scale = jnp.where(scaled_rms < MIN_FG_RMS,
+                      scale * (MIN_FG_RMS / jnp.maximum(scaled_rms, EPS)),
+                      scale)
+
+    offset = jnp.where(has_bg, offset, 0)
+    idx = jnp.arange(n)
+    # shift fg right by `offset` (roll is exact because fg is zero-padded
+    # beyond its content; content never wraps for valid offsets)
+    shifted = jnp.roll(fg, offset)
+    shifted = jnp.where(idx >= offset, shifted, 0.0)
+    return jnp.where(has_bg, bg + shifted * scale, shifted)
+
+
+def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
+                   apply: jnp.ndarray) -> jnp.ndarray:
+    """Pitch/speed shift by linear-interpolation resampling (fixed shape).
+
+    rate = 2^(semitones/12); reads position i*rate (clamped), so pitch up
+    shortens content (tail zero-padded implicitly by clamping into the
+    original signal's zeros-free region — we mask past-the-end reads to 0).
+    """
+    n = x.shape[-1]
+    rate = 2.0 ** (semitones / 12.0)
+    pos = jnp.arange(n) * rate
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    frac = pos - lo
+    out = x[lo] * (1.0 - frac) + x[hi] * frac
+    out = jnp.where(pos <= n - 1, out, 0.0)
+    return jnp.where(apply, out, x)
+
+
+def rir_convolve(x: jnp.ndarray, rir: jnp.ndarray,
+                 apply: jnp.ndarray) -> jnp.ndarray:
+    """Room-impulse-response FFT convolution, output truncated to len(x).
+
+    The impulse is peak-normalised; output is RMS-matched to the dry signal
+    so reverb does not change loudness before the gain stage.
+    """
+    n = x.shape[-1]
+    r = rir / jnp.maximum(jnp.max(jnp.abs(rir)), EPS)
+    fft_len = _next_pow2(n + rir.shape[-1] - 1)
+    X = jnp.fft.rfft(x, fft_len)
+    R = jnp.fft.rfft(r, fft_len)
+    wet = jnp.fft.irfft(X * R, fft_len)[:n]
+    wet = wet * (_rms(x) / _rms(wet))
+    return jnp.where(apply, wet, x)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+class AugmentParams(NamedTuple):
+    rir_prob: float
+    gain_prob: float
+    pitch_prob: float
+    min_pitch: float
+    max_pitch: float
+    min_snr: float
+    max_snr: float
+    min_gain: float
+    max_gain: float
+    min_volume: float
+    max_volume: float
+
+    @classmethod
+    def from_settings(cls, settings=None) -> "AugmentParams":
+        cfg = dict(DEFAULT_SETTINGS)
+        if settings:
+            cfg.update({k: v for k, v in settings.items() if v is not None})
+        return cls(
+            rir_prob=float(cfg["rir_prob"]),
+            gain_prob=float(cfg["gain_prob"]),
+            pitch_prob=float(cfg["pitch_prob"]),
+            min_pitch=float(cfg["min_pitch_semitones"]),
+            max_pitch=float(cfg["max_pitch_semitones"]),
+            min_snr=float(cfg["min_snr_in_db"]),
+            max_snr=float(cfg["max_snr_in_db"]),
+            min_gain=float(cfg["min_gain_in_db"]),
+            max_gain=float(cfg["max_gain_in_db"]),
+            min_volume=float(cfg["min_volume_augmentation"]),
+            max_volume=float(cfg["max_volume_augmentation"]),
+        )
+
+
+def _augment_one(key, fg, bg, rir, fg_len, has_bg, has_rir,
+                 params: AugmentParams):
+    """Single-clip augmentation chain (floats in [-1,1]); vmapped over B."""
+    k_off, k_snr, k_gain, k_pitch, k_rir, k_vol, k_p1, k_p2, k_p3 = \
+        jax.random.split(key, 9)
+    n = fg.shape[-1]
+
+    max_offset = jnp.maximum(n - fg_len, 0)
+    offset = jax.random.randint(k_off, (), 0, jnp.maximum(max_offset, 1))
+    snr_db = jax.random.uniform(k_snr, (), minval=params.min_snr,
+                                maxval=params.max_snr)
+    mixed = mix_snr(fg, bg, offset, snr_db, has_bg)
+
+    # gain (dB), probability gate
+    gain_db = jax.random.uniform(k_gain, (), minval=params.min_gain,
+                                 maxval=params.max_gain)
+    apply_gain = jax.random.uniform(k_p1, ()) < params.gain_prob
+    mixed = jnp.where(apply_gain, mixed * 10.0 ** (gain_db / 20.0), mixed)
+
+    # pitch/speed, probability gate
+    semis = jax.random.uniform(k_pitch, (), minval=params.min_pitch,
+                               maxval=params.max_pitch)
+    apply_pitch = jax.random.uniform(k_p2, ()) < params.pitch_prob
+    mixed = resample_pitch(mixed, semis, apply_pitch)
+
+    # RIR, probability gate (only when an impulse was provided)
+    apply_rir = jnp.logical_and(
+        jax.random.uniform(k_p3, ()) < params.rir_prob, has_rir)
+    mixed = rir_convolve(mixed, rir, apply_rir)
+
+    # peak-normalised random volume (augment_clips.py:246-255)
+    target = jax.random.uniform(k_vol, (), minval=params.min_volume,
+                                maxval=params.max_volume)
+    peak = jnp.max(jnp.abs(mixed))
+    peak = jnp.where(peak < 1e-8, 1.0, peak)
+    out = mixed * (target / peak)
+    return jnp.clip(out, -1.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def augment_batch(key, fg, bg, rir, fg_lens, has_bg, has_rir,
+                  params: AugmentParams) -> jnp.ndarray:
+    """Batched augmentation.
+
+    Args:
+        key:     PRNG key.
+        fg:      [B, L] foreground clips, int16 scale or [-1,1] floats.
+        bg:      [B, L] background clips (zeros when none).
+        rir:     [B, R] impulse responses (zeros when none).
+        fg_lens: [B] true foreground lengths (for placement offsets).
+        has_bg:  [B] bool, real background present.
+        has_rir: [B] bool, impulse present.
+        params:  AugmentParams (static).
+
+    Returns:
+        [B, L] int16 augmented audio.
+    """
+    fg = fg.astype(jnp.float32)
+    bg = bg.astype(jnp.float32)
+    scale = jnp.where(jnp.max(jnp.abs(fg)) > 2.0, 1.0 / 32768.0, 1.0)
+    fg = fg * scale
+    bg = bg * jnp.where(jnp.max(jnp.abs(bg)) > 2.0, 1.0 / 32768.0, 1.0)
+
+    keys = jax.random.split(key, fg.shape[0])
+    out = jax.vmap(_augment_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+        keys, fg, bg, rir.astype(jnp.float32), fg_lens, has_bg, has_rir,
+        params)
+    return (out * INT16_MAX).astype(jnp.int16)
+
+
+def spec_augment(key, mel: jnp.ndarray, time_masks: int = 2,
+                 time_width: int = 10, freq_masks: int = 2,
+                 freq_width: int = 6) -> jnp.ndarray:
+    """SpecAugment on [B, T, F] mel features (new capability; the BASELINE
+    CRNN-training config calls for noise mix + SpecAugment)."""
+    B, T, F = mel.shape
+    fill = mel.min()
+
+    def mask_axis(key, mel, axis_len, width, axis):
+        k1, k2 = jax.random.split(key)
+        starts = jax.random.randint(k1, (B,), 0, jnp.maximum(axis_len - width,
+                                                             1))
+        widths = jax.random.randint(k2, (B,), 0, width + 1)
+        idx = jnp.arange(axis_len)
+        mask = ((idx[None, :] >= starts[:, None])
+                & (idx[None, :] < (starts + widths)[:, None]))
+        shape = (B, T, 1) if axis == 1 else (B, 1, F)
+        mask = mask.reshape(shape)
+        return jnp.where(mask, fill, mel)
+
+    keys = jax.random.split(key, time_masks + freq_masks)
+    for i in range(time_masks):
+        mel = mask_axis(keys[i], mel, T, time_width, axis=1)
+    for i in range(freq_masks):
+        mel = mask_axis(keys[time_masks + i], mel, F, freq_width, axis=2)
+    return mel

@@ -17,9 +17,12 @@ We re-design it TPU-first instead of wrapping a black box:
 * **Exact streaming == batch** — the frontend left-pads every clip with
   ``WINDOW - HOP = 320`` zero samples. Then every 1280-sample (80 ms) chunk
   contributes exactly 8 new frames, and a streaming implementation that
-  carries a 320-sample tail reproduces the batch output bit-for-bit. The
-  reference explicitly could NOT guarantee this (`AudioFeatures.py:388-393`);
-  we make it a hard invariant (tested in tests/test_mel.py).
+  carries a 320-sample tail sees the *identical* frame matrix as the batch
+  path: outputs agree to float32 rounding (a few ulps of XLA matmul
+  reassociation; bit-exact when the per-call frame counts match). The
+  reference's streaming admittedly diverges from its batch path
+  (`AudioFeatures.py:388-393`); here it is a tested invariant
+  (tests/test_mel.py).
 
 Output contract (matches the reference numerically in *shape and scale*):
     mel_frontend(x[n]) -> [n // HOP, N_MELS]   (for n a multiple of HOP)
@@ -47,7 +50,9 @@ FMAX = 3800.0
 CHUNK = 1280                # 80 ms streaming chunk
 FRAMES_PER_CHUNK = CHUNK // HOP  # 8
 LEFT_PAD = WINDOW - HOP     # 320 zero samples of left context
-MEL_EPS = 1e-3              # floor inside log10 (int16 amplitude scale)
+INT16_SCALE = 1.0 / 32768.0  # inputs arrive in int16 amplitude convention
+MEL_EPS = 1e-8              # floor inside log10; log10(1e-8)+2 = -6, i.e.
+                            # silence sits at the reference's -80 dB pad value
 LOG_OFFSET = 2.0            # the reference's `spec/10 + 2` offset
 PAD_VALUE = -6.0            # transformed-scale equivalent of the -80 dB pad
                             # used by the reference batch path (-80/10 + 2)
@@ -69,7 +74,11 @@ def _dft_mel_matrices(dtype_name: str = "bfloat16"):
     t = np.arange(WINDOW)[:, None]          # [480, 1]
     k = np.arange(n_bins)[None, :]          # [1, 257]
     ang = 2.0 * np.pi * t * k / N_FFT
-    win = _hann(WINDOW)[:, None]
+    # Fold the Hann window AND the int16 normalisation into the DFT basis:
+    # matmul inputs stay bit-identical between the batch and streaming paths
+    # (an input-side scale would fuse differently per shape and break exact
+    # streaming == batch equality).
+    win = _hann(WINDOW)[:, None] * INT16_SCALE
     cos_m = (np.cos(ang) * win).astype(np.float64)
     sin_m = (-np.sin(ang) * win).astype(np.float64)
 

@@ -69,7 +69,11 @@ def asymmetric_focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     p_pos = jnp.maximum(p, EPS)
     pos_term = -soft * (1.0 - p_pos) ** gamma_pos * jnp.log(p_pos)
     p_neg = jnp.maximum(1.0 - p, EPS)
-    neg_term = -(1.0 - soft) * p_neg ** gamma_neg * jnp.log(p_neg)
+    # ASL: modulate by the probability of the WRONG class (p for negatives),
+    # so confidently-classified easy negatives vanish from the loss. (The
+    # reference's commented-out draft used p_neg**gamma here, which would
+    # down-weight HARD negatives — inverted vs. Ridnik et al.)
+    neg_term = -(1.0 - soft) * p ** gamma_neg * jnp.log(p_neg)
 
     total = (loss_bias * _masked_mean(neg_term, neg_mask)
              + (1.0 - loss_bias) * _masked_mean(pos_term, pos_mask))

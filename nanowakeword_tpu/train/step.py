@@ -72,13 +72,15 @@ def make_train_step(module, tx: optax.GradientTransformation, *,
 
     def loss_and_aux(params, batch_stats, rng, features, labels):
         variables = {"params": params}
-        mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
-            mutable = ["batch_stats"]
-        out = module.apply(variables, features, deterministic=False,
-                           rngs={"dropout": rng}, mutable=mutable)
-        logits, updates = out if mutable else (out, {})
+            logits, updates = module.apply(
+                variables, features, deterministic=False,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+        else:
+            logits = module.apply(variables, features, deterministic=False,
+                                  rngs={"dropout": rng})
+            updates = {}
         logits = logits.reshape(-1)
 
         if loss_fn_name == "asymmetric_focal":

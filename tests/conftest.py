@@ -7,7 +7,7 @@ before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# A site plugin may have force-registered an accelerator backend and set
+# jax_platforms itself; insist on the virtual CPU mesh for tests.
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", \
+    f"tests require the 8-device CPU mesh, got {jax.devices()}"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

