@@ -1,0 +1,144 @@
+"""Device augmentation: SNR math, placement, pitch, RIR, SpecAugment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanowakeword_tpu.ops import augment as A
+
+
+def _rms(x):
+    return float(np.sqrt(np.mean(np.asarray(x, np.float64) ** 2)))
+
+
+class TestMixSNR:
+    def test_snr_ratio_respected(self):
+        rng = np.random.default_rng(0)
+        n = 16000
+        fg = jnp.asarray(0.1 * rng.normal(size=n).astype(np.float32))
+        bg = jnp.asarray(0.05 * rng.normal(size=n).astype(np.float32))
+        out = A.mix_snr(fg, bg, jnp.asarray(0), jnp.asarray(20.0),
+                        jnp.asarray(True))
+        # fg was scaled to be 20 dB above bg RMS
+        fg_part = np.asarray(out) - np.asarray(bg)
+        snr_measured = 20 * np.log10(_rms(fg_part) / _rms(bg))
+        assert snr_measured == pytest.approx(20.0, abs=0.5)
+
+    def test_placement_offset(self):
+        fg = jnp.asarray(np.concatenate([np.ones(100, np.float32) * 0.5,
+                                         np.zeros(900, np.float32)]))
+        bg = jnp.zeros(1000)
+        out = np.asarray(A.mix_snr(fg, bg, jnp.asarray(300),
+                                   jnp.asarray(10.0), jnp.asarray(True)))
+        assert np.abs(out[:300]).max() == 0.0
+        assert np.abs(out[300:400]).max() > 0.0
+
+    def test_silence_background_places_at_zero(self):
+        fg = jnp.asarray(np.ones(100, np.float32) * 0.3)
+        fg = jnp.pad(fg, (0, 900))
+        bg = jnp.zeros(1000)
+        out = np.asarray(A.mix_snr(fg, bg, jnp.asarray(500),
+                                   jnp.asarray(10.0), jnp.asarray(False)))
+        assert np.abs(out[:100]).max() > 0.0   # at the start, not offset 500
+        np.testing.assert_allclose(out[:100], np.asarray(fg[:100]))
+
+    def test_quiet_foreground_floored(self):
+        """MIN_FG_RMS floor keeps the foreground audible
+        (augment_clips.py:70-74)."""
+        rng = np.random.default_rng(1)
+        fg = jnp.asarray(1e-4 * rng.normal(size=1000).astype(np.float32))
+        bg = jnp.asarray(1e-4 * rng.normal(size=1000).astype(np.float32))
+        out = A.mix_snr(fg, bg, jnp.asarray(0), jnp.asarray(-40.0),
+                        jnp.asarray(True))
+        fg_part = np.asarray(out) - np.asarray(bg)
+        # The floor boosts a near-silent foreground far above its raw level.
+        # (Exact MIN_FG_RMS isn't reached because eps inside sqrt dominates
+        # the RMS estimate at this amplitude — same as the reference's
+        # torch.sqrt(mean + eps), augment_clips.py:59-74.)
+        assert _rms(fg_part) > 10 * _rms(np.asarray(fg))
+
+
+class TestPitch:
+    def test_shifts_frequency(self):
+        t = np.arange(16000) / 16000
+        x = jnp.asarray(np.sin(2 * np.pi * 440 * t).astype(np.float32))
+        up = np.asarray(A.resample_pitch(x, jnp.asarray(12.0),
+                                         jnp.asarray(True)))
+        # +12 semitones = 2x rate: zero crossings double in the valid region
+        zc_orig = int((np.diff(np.sign(np.asarray(x)[:8000])) != 0).sum())
+        zc_up = int((np.diff(np.sign(up[:4000])) != 0).sum())
+        assert zc_up == pytest.approx(zc_orig, rel=0.1)
+
+    def test_noop_when_not_applied(self):
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=1000).astype(np.float32))
+        out = A.resample_pitch(x, jnp.asarray(2.0), jnp.asarray(False))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+class TestRIR:
+    def test_convolution_smears_impulse(self):
+        x = jnp.zeros(1000).at[100].set(1.0)
+        rir = jnp.zeros(200).at[0].set(1.0).at[50].set(0.5)
+        out = np.asarray(A.rir_convolve(x, rir, jnp.asarray(True)))
+        # echo at 150 with half the energy of the direct path at 100
+        assert abs(out[150] / out[100] - 0.5) < 0.05
+
+    def test_preserves_rms(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(0.2 * rng.normal(size=4000).astype(np.float32))
+        rir = jnp.asarray(np.exp(-np.arange(400) / 50).astype(np.float32))
+        out = A.rir_convolve(x, rir, jnp.asarray(True))
+        assert _rms(out) == pytest.approx(_rms(np.asarray(x)), rel=0.05)
+
+
+class TestBatch:
+    def test_shapes_dtype_and_determinism(self):
+        rng = np.random.default_rng(3)
+        B, L = 4, 8000
+        fg = rng.integers(-8000, 8000, (B, L)).astype(np.float32)
+        bg = rng.integers(-2000, 2000, (B, L)).astype(np.float32)
+        rir = np.zeros((B, 1600), np.float32)
+        args = (fg, bg, rir, np.full(B, L, np.int32), np.ones(B, bool),
+                np.zeros(B, bool))
+        params = A.AugmentParams.from_settings(None)
+        out1 = np.asarray(A.augment_batch(jax.random.PRNGKey(7), *args,
+                                          params))
+        out2 = np.asarray(A.augment_batch(jax.random.PRNGKey(7), *args,
+                                          params))
+        assert out1.shape == (B, L) and out1.dtype == np.int16
+        np.testing.assert_array_equal(out1, out2)
+        out3 = np.asarray(A.augment_batch(jax.random.PRNGKey(8), *args,
+                                          params))
+        assert not np.array_equal(out1, out3)
+
+    def test_volume_targets(self):
+        rng = np.random.default_rng(4)
+        fg = rng.integers(-12000, 12000, (8, 4000)).astype(np.float32)
+        params = A.AugmentParams.from_settings(
+            {"pitch_prob": 0.0, "rir_prob": 0.0, "gain_prob": 0.0})
+        out = np.asarray(A.augment_batch(
+            jax.random.PRNGKey(0), fg, np.zeros_like(fg),
+            np.zeros((8, 100), np.float32), np.full(8, 4000, np.int32),
+            np.ones(8, bool), np.zeros(8, bool), params))
+        peaks = np.abs(out).max(axis=1) / 32767.0
+        assert ((peaks >= 0.45) & (peaks <= 1.0)).all()
+
+
+class TestSettingsOverride:
+    def test_from_settings(self):
+        p = A.AugmentParams.from_settings({"min_snr_in_db": 15.0,
+                                           "rir_prob": 0.0})
+        assert p.min_snr == 15.0 and p.rir_prob == 0.0
+        assert p.gain_prob == 1.0  # default preserved
+
+
+class TestSpecAugment:
+    def test_masks_applied(self):
+        rng = np.random.default_rng(5)
+        mel = jnp.asarray(rng.normal(loc=2.0, size=(3, 50, 32))
+                          .astype(np.float32))
+        out = np.asarray(A.spec_augment(jax.random.PRNGKey(0), mel))
+        assert out.shape == mel.shape
+        assert (out == np.asarray(mel).min()).sum() > 0  # something masked

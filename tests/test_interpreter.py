@@ -1,0 +1,150 @@
+"""Interpreter: DetectionResult, cascade, warm-up, patience/debounce, VAD."""
+
+import numpy as np
+import pytest
+
+from nanowakeword_tpu.interpreter.nanointerpreter import (DetectionResult,
+                                                          NanoInterpreter)
+from nanowakeword_tpu.interpreter.vad import VAD
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    """Train-free artifact: a tiny DNN exported straight after init."""
+    root = tmp_path_factory.mktemp("models")
+    from nanowakeword_tpu.export.artifact import save_nww
+    from nanowakeword_tpu.models.model import Model
+
+    cfg = {"activation_function": "relu", "embedding_dim": 16}
+    model = Model(config=cfg, model_name="toy", input_shape=(16, 96),
+                  model_type="dnn", layer_dim=16, n_blocks=1)
+    path = str(root / "toy.nww")
+    save_nww(path, model=model, config=cfg, model_name="toy")
+
+    lite = Model(config=cfg, model_name="toy_lite", input_shape=(16, 96),
+                 model_type="dnn", layer_dim=8, n_blocks=1)
+    save_nww(str(root / "toy_lite.nww"), model=lite, config=cfg,
+             model_name="toy_lite")
+    return path
+
+
+class TestDetectionResult:
+    def test_accessors(self):
+        r = DetectionResult({"m": 0.9, "g": 0.4}, model_name="m",
+                            gate_name="g", threshold=0.5)
+        assert r.score == 0.9
+        assert r.gate_score == 0.4
+        assert r.detected
+        assert r["m"] == 0.9
+        assert r.get("missing", -1.0) == -1.0
+        assert "m" in r and "x" not in r
+        assert "score=0.9" in repr(r)
+
+    def test_no_threshold_never_detected(self):
+        r = DetectionResult({"m": 0.99}, "m", None)
+        assert not r.detected
+
+
+class TestLoadModel:
+    def test_single_model(self, artifact):
+        interp = NanoInterpreter.load_model(artifact)
+        assert interp.model_name == "toy"
+        assert not interp.is_cascade
+        assert interp.model_feature_length["toy"] == 16
+
+    def test_cascade_autodiscovery(self, artifact):
+        interp = NanoInterpreter.load_model(artifact, cascade=True)
+        assert interp.is_cascade
+        assert interp.gate_name == "toy_lite"
+        assert interp.cascade_config["verifier"] == "toy"
+        assert list(interp.models) == ["toy_lite", "toy"]
+
+    def test_missing_file_raises(self):
+        with pytest.raises(FileNotFoundError):
+            NanoInterpreter.load_model("/nonexistent/model.nww")
+
+    def test_info_surface(self, artifact):
+        interp = NanoInterpreter.load_model(artifact, cascade=True)
+        info = interp.info
+        assert info["model_name"] == "toy"
+        assert info["is_cascade"] and not info["is_remote"]
+        assert set(info["loaded_models"]) == {"toy", "toy_lite"}
+
+
+class TestPredict:
+    def test_warmup_zeroes_first_five(self, artifact):
+        interp = NanoInterpreter.load_model(artifact)
+        rng = np.random.default_rng(0)
+        scores = []
+        # feed 30 chunks; buffer needs 16 frames before real scores appear,
+        # then the first 5 predictions are zeroed
+        for _ in range(30):
+            r = interp.predict(rng.integers(-8000, 8000, 1280,
+                                            dtype=np.int64).astype(np.int16))
+            scores.append(r.score)
+        assert all(s == 0.0 for s in scores[:21]) or scores[0] == 0.0
+        assert any(s != 0.0 for s in scores)  # eventually scores flow
+
+    def test_short_chunk_accumulates(self, artifact):
+        interp = NanoInterpreter.load_model(artifact)
+        r = interp.predict(np.zeros(100, np.int16))
+        assert isinstance(r, DetectionResult)
+
+    def test_reset(self, artifact):
+        interp = NanoInterpreter.load_model(artifact)
+        interp.predict(np.zeros(1280 * 20, np.int16))
+        interp.reset()
+        assert interp.preprocessor.feature_buffer.shape[0] == 0
+        assert all(v == 0.0 for v in interp.post_processed_scores.values())
+
+    def test_patience_requires_threshold(self, artifact):
+        interp = NanoInterpreter.load_model(artifact)
+        with pytest.raises(ValueError):
+            interp.predict(np.zeros(1280, np.int16), patience={"toy": 3})
+
+    def test_patience_and_debounce_exclusive(self, artifact):
+        interp = NanoInterpreter.load_model(artifact)
+        with pytest.raises(ValueError):
+            interp.predict(np.zeros(1280, np.int16), patience={"toy": 3},
+                           threshold={"toy": 0.5}, debounce_time=1.0)
+
+    def test_predict_clip_chunking(self, artifact):
+        interp = NanoInterpreter.load_model(artifact)
+        results = interp.predict_clip(np.zeros(1280 * 7 + 100, np.int16))
+        assert len(results) == 8
+
+
+class TestCascadeGating:
+    def test_gate_below_threshold_skips_verifier(self, artifact):
+        interp = NanoInterpreter.load_model(artifact, cascade=True,
+                                            gate_threshold=1.1)  # never fires
+        rng = np.random.default_rng(1)
+        for _ in range(25):
+            r = interp.predict(rng.integers(-8000, 8000, 1280,
+                                            dtype=np.int64).astype(np.int16))
+        # verifier never runs -> its score stays 0 even after warm-up
+        assert r.scores["toy"] == 0.0
+
+
+class TestVAD:
+    def test_speech_scores_higher_than_silence(self):
+        vad = VAD()
+        rng = np.random.default_rng(0)
+        t = np.arange(16000) / 16000
+        # speech-band modulated tone after a silence lead-in for the floor
+        silence = rng.normal(0, 30, 16000)
+        speech = (9000 * np.sin(2 * np.pi * 700 * t)
+                  * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t)))
+        for i in range(0, 16000, 1280):
+            vad.predict(silence[i:i + 1280])
+        sil_score = np.mean(list(vad.prediction_buffer)[-5:])
+        for i in range(0, 16000, 1280):
+            vad.predict(speech[i:i + 1280])
+        sp_score = np.mean(list(vad.prediction_buffer)[-5:])
+        assert sp_score > sil_score + 0.2
+
+    def test_buffer_cap(self):
+        vad = VAD()
+        for _ in range(200):
+            vad.predict(np.zeros(1280))
+        assert len(vad.prediction_buffer) == 125
