@@ -77,8 +77,10 @@ def bench_throughput(batch: int = 4096, iters: int = 32) -> float:
     @jax.jit
     def loop(variables, enc_vars, audio):
         def body(_, carry):
-            # fold the previous result into the input: serialises the loop
-            out = fwd(variables, enc_vars, audio + carry * jnp.float32(0.0))
+            # fold the previous result into the input with a non-zero (but
+            # negligible) coupling: a literal *0 gets constant-folded and the
+            # whole loop body hoisted as invariant.
+            out = fwd(variables, enc_vars, audio + carry * jnp.float32(1e-30))
             return out.sum()
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
