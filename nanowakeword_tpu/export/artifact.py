@@ -57,16 +57,28 @@ def save_nww(path: str, *, model, config, model_name: str,
              encoder_variables=None, extra_meta: Optional[dict] = None) -> str:
     """Serialize a trained Model (+ optional frontend encoder) to one file."""
     arch_config = {}
+    # The model's OWN config wins (a distilled student carries different
+    # embedding_dim/activation than the pipeline config used to train the
+    # teacher); the passed config only fills gaps.
+    sources = [getattr(model, "config", None), config]
     for key in ARCH_CONFIG_KEYS:
-        try:
-            val = config.get(key, None)
-        except Exception:  # noqa: BLE001
-            val = None
+        val = None
+        for src in sources:
+            if src is None:
+                continue
+            try:
+                val = src.get(key, None)
+            except Exception:  # noqa: BLE001
+                val = None
+            if val is not None:
+                break
         if val is None:
             continue
         if hasattr(val, "to_dict"):
             val = val.to_dict()
         arch_config[key] = val
+    # embedding_dim is authoritative on the model object
+    arch_config["embedding_dim"] = model.embedding_dim
 
     header = {
         "format_version": FORMAT_VERSION,

@@ -155,6 +155,7 @@ class NanoInterpreter:
         self.cascade_config: dict = {}
         self._listen_thread: Optional[threading.Thread] = None
         self._stop_event: Optional[threading.Event] = None
+        self._fused_step = self._build_fused_step()
 
     # -- properties (nanointerpreter.py:180-258) --------------------------------
 
@@ -339,6 +340,7 @@ class NanoInterpreter:
             instance.cascade_config = {}
             instance._listen_thread = None
             instance._stop_event = None
+            instance._fused_step = None
             instance._setup_components_no_preprocessor(**kwargs)
         else:
             instance = cls(wakeword_models=paths, **kwargs)
@@ -373,6 +375,8 @@ class NanoInterpreter:
         self.raw_scores[verifier_name] = 0.0
         self.post_processed_scores[verifier_name] = 0.0
         self.class_mapping[verifier_name] = {"0": verifier_name}
+        # remote sessions can't join the fused device step
+        self._fused_step = None
         logging.info(f"[NanoInterpreter] Remote verifier '{verifier_name}' "
                      f"registered (pipeline='{remote_cfg['pipeline']}').")
 
@@ -402,6 +406,108 @@ class NanoInterpreter:
             self.vad = VAD()
         self.preprocessor = None
 
+    # -- fused streaming fast path -----------------------------------------------
+
+    def _build_fused_step(self):
+        """One jitted call per 80 ms chunk: mel step + encoder + EVERY local
+        stateless model's score. Collapses the reference's
+        per-model-session round trips (`nanointerpreter.py:656-689`) into a
+        single device dispatch — the p50-latency path.
+
+        Returns None (general path) when any model is remote or stateful.
+        """
+        if self.preprocessor is None or not self.models:
+            return None
+        sessions = list(self.models.items())
+        if any(not isinstance(s, _LocalSession) or s.stateful
+               for _, s in sessions):
+            return None
+
+        pre = self.preprocessor
+        lengths = [self.model_feature_length[name] for name, _ in sessions]
+        all_variables = tuple(s.model.variables for _, s in sessions)
+        modules = [s.model.module for _, s in sessions]
+
+        def step(variables_tuple, state, chunk):
+            new_state = pre._stream_step_impl(state, chunk)
+            scores = []
+            for module, variables, L in zip(modules, variables_tuple,
+                                            lengths):
+                feats = new_state.feat_buf[-L:][None]
+                logits = module.apply(variables, feats, deterministic=True)
+                scores.append(jax.nn.sigmoid(logits.reshape(())))
+            return new_state, jnp.stack(scores)
+
+        jitted = jax.jit(step, donate_argnums=(1,))
+        names = [name for name, _ in sessions]
+
+        def run(chunk_f32):
+            self.preprocessor.state, scores = jitted(
+                all_variables, self.preprocessor.state, chunk_f32)
+            self.preprocessor._frames_seen += 1
+            return dict(zip(names, np.asarray(scores, np.float64)))
+
+        return run
+
+    def _predict_fused(self, x: np.ndarray, patience, threshold,
+                       debounce_time):
+        """predict() body over the fused step; semantics identical to the
+        general path (warm-up guard, cascade gating, VAD, post-filters)."""
+        pre = self.preprocessor
+        x = np.asarray(x, np.float32).reshape(-1)
+        pre._pending = np.concatenate([pre._pending, x])
+        n_chunks = len(pre._pending) // 1280
+        if n_chunks == 0:
+            pre.accumulated_samples = len(pre._pending)
+            return DetectionResult(scores=dict(self.post_processed_scores),
+                                   model_name=self.model_name,
+                                   gate_name=self.gate_name)
+
+        raw = {}
+        for c in range(n_chunks):
+            chunk = jnp.asarray(pre._pending[c * 1280:(c + 1) * 1280])
+            raw = self._fused_step(chunk)
+        n_prepared = n_chunks * 1280
+        pre._pending = pre._pending[n_prepared:]
+        pre.accumulated_samples = len(pre._pending)
+
+        frames_avail = min(pre._frames_seen, pre.state.feat_buf.shape[0])
+        current_raw_preds = {}
+        for mdl_name, score in raw.items():
+            if frames_avail < self.model_feature_length[mdl_name]:
+                current_raw_preds[mdl_name] = 0.0
+                continue
+            if self.cascade_config \
+                    and mdl_name == self.cascade_config["verifier"]:
+                gate_score = current_raw_preds.get(
+                    self.cascade_config["gate"], 0.0)
+                if gate_score < self.cascade_config["gate_threshold"]:
+                    current_raw_preds[mdl_name] = 0.0
+                    continue
+            score = float(score)
+            self.raw_scores[mdl_name] = score
+            if len(self.prediction_buffer.get(mdl_name, [])) < 5:
+                score = 0.0
+            current_raw_preds[mdl_name] = score
+
+        final_predictions = current_raw_preds.copy()
+        if self.vad_threshold > 0:
+            self.vad(x)
+            vad_frames = list(self.vad.prediction_buffer)[-7:-4]
+            vad_max = np.max(vad_frames) if len(vad_frames) > 0 else 0
+            if vad_max < self.vad_threshold:
+                for mdl_name in final_predictions:
+                    final_predictions[mdl_name] = 0.0
+
+        self._apply_post_processing(final_predictions, patience, threshold,
+                                    debounce_time, n_prepared)
+        for mdl_name, score in final_predictions.items():
+            self.prediction_buffer[mdl_name].append(score)
+            self.post_processed_scores[mdl_name] = score
+        return DetectionResult(scores=dict(final_predictions),
+                               model_name=self.model_name,
+                               gate_name=self.gate_name)
+
     # -- predict (nanointerpreter.py:592-722) ----------------------------------------
 
     def predict(self, x: np.ndarray, patience: dict = {},
@@ -428,6 +534,9 @@ class NanoInterpreter:
             return DetectionResult(scores=dict(current_raw_preds),
                                    model_name=self.model_name,
                                    gate_name=self.gate_name)
+
+        if self._fused_step is not None:
+            return self._predict_fused(x, patience, threshold, debounce_time)
 
         n_prepared_samples = self.preprocessor(x)
         if n_prepared_samples < 1280:
