@@ -1,0 +1,109 @@
+"""Native runtime (ring buffer, WAV decode, chunker) + numpy fallbacks."""
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from nanowakeword_tpu.runtime import (AudioRing, Chunker, decode_wav_bytes,
+                                      load_native)
+
+
+def _wav_bytes(samples, sr=16000, channels=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(np.asarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_native_library_builds():
+    assert load_native() is not None, "native runtime failed to build/load"
+
+
+class TestRing:
+    def test_push_pop_roundtrip(self):
+        ring = AudioRing(capacity=4096)
+        data = np.arange(1000, dtype=np.int16)
+        ring.push(data)
+        assert ring.size == 1000
+        out = ring.pop(1000)
+        np.testing.assert_array_equal(out, data)
+        assert ring.size == 0
+
+    def test_partial_pop(self):
+        ring = AudioRing(capacity=4096)
+        ring.push(np.arange(100, dtype=np.int16))
+        out = ring.pop(250)
+        assert len(out) == 100
+
+    def test_overflow_keeps_newest(self):
+        ring = AudioRing(capacity=256)
+        ring.push(np.arange(1000, dtype=np.int16))
+        out = ring.pop(10_000)
+        # capacity rounds to a power of two >= 256
+        assert out[-1] == 999
+        assert len(out) <= 1024
+        assert (np.diff(out) == 1).all()
+
+    def test_interleaved(self):
+        ring = AudioRing(capacity=1 << 14)
+        expected = []
+        for i in range(50):
+            chunk = np.full(137, i, np.int16)
+            ring.push(chunk)
+            expected.extend(chunk.tolist())
+        got = ring.pop(50 * 137)
+        np.testing.assert_array_equal(got, np.asarray(expected, np.int16))
+
+
+class TestWavDecode:
+    def test_mono(self):
+        samples = np.random.default_rng(0).integers(
+            -30000, 30000, 5000).astype(np.int16)
+        data, sr = decode_wav_bytes(_wav_bytes(samples))
+        assert sr == 16000
+        np.testing.assert_array_equal(data, samples)
+
+    def test_stereo_folds_to_mono(self):
+        left = np.full(100, 1000, np.int16)
+        right = np.full(100, 3000, np.int16)
+        stereo = np.empty(200, np.int16)
+        stereo[0::2], stereo[1::2] = left, right
+        data, sr = decode_wav_bytes(_wav_bytes(stereo, channels=2))
+        assert len(data) == 100
+        np.testing.assert_array_equal(data, np.full(100, 2000, np.int16))
+
+
+class TestChunker:
+    def test_whole_chunks_with_remainder(self):
+        ch = Chunker(chunk=1280)
+        out = ch.feed(np.arange(1280 * 2 + 300, dtype=np.int16))
+        assert out.shape == (2, 1280)
+        assert ch.pending == 300
+        np.testing.assert_array_equal(out[0],
+                                      np.arange(1280, dtype=np.float32))
+
+    def test_remainder_carries(self):
+        ch = Chunker(chunk=1280)
+        assert ch.feed(np.zeros(1000, np.int16)).shape == (0, 1280)
+        out = ch.feed(np.ones(300, np.int16))
+        assert out.shape == (1, 1280)
+        np.testing.assert_array_equal(out[0, :1000], 0.0)
+        np.testing.assert_array_equal(out[0, 1000:], 1.0)
+
+    def test_reset(self):
+        ch = Chunker(chunk=1280)
+        ch.feed(np.zeros(700, np.int16))
+        ch.reset()
+        assert ch.pending == 0
+
+    def test_large_feed_grows_buffer(self):
+        ch = Chunker(chunk=1280)
+        big = np.arange(1280 * 40 + 7, dtype=np.int32).astype(np.int16)
+        out = ch.feed(big)
+        assert out.shape == (40, 1280)
+        assert ch.pending == 7
