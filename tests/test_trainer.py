@@ -1,0 +1,105 @@
+"""Trainer internals: validation sweep, SWA pool, early stopping, resume."""
+
+import numpy as np
+import pytest
+
+from nanowakeword_tpu.data.dataset import (AdaptiveLossAwareDataset,
+                                           DynamicClassAwareSampler,
+                                           ValidationDataset)
+from nanowakeword_tpu.models.model import Model
+from nanowakeword_tpu.train.trainer import Trainer
+
+CFG = {
+    "activation_function": "relu", "embedding_dim": 16,
+    "optimizer_type": "adamw", "learning_rate_max": 2e-3,
+    "lr_scheduler_type": "onecycle", "weight_decay": 0.01,
+    "steps": 60, "stabilization_steps": 5,
+    "checkpoint_pool_interval": 10, "checkpoint_averaging_top_k": 3,
+    "early_stopping_patience": 0, "hardness_reset_interval": 25,
+    "val_interval": 20, "val_stabilization_steps": 10,
+    "val_early_stopping_patience": 0,
+}
+
+
+@pytest.fixture
+def data(tmp_path):
+    """Separable synthetic features: positives offset by +1."""
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(60, 16, 96)).astype(np.float32) + 1.0
+    neg = rng.normal(size=(120, 16, 96)).astype(np.float32)
+    pos_p, neg_p = tmp_path / "pos.npy", tmp_path / "neg.npy"
+    np.save(pos_p, pos)
+    np.save(neg_p, neg)
+    manifest = {"targets": {"t": str(pos_p)}, "negatives": {"n": str(neg_p)}}
+    dataset = AdaptiveLossAwareDataset(manifest)
+    sampler = DynamicClassAwareSampler(dataset, {"t": 8, "n": 16}, manifest)
+    val = ValidationDataset(manifest)
+    return dataset, sampler, val
+
+
+def _model():
+    return Model(config=dict(CFG), model_name="tr", input_shape=(16, 96),
+                 model_type="dnn", layer_dim=16, n_blocks=1,
+                 dropout_prob=0.1)
+
+
+class TestTraining:
+    def test_auto_train_improves_and_pools(self, data, tmp_path):
+        dataset, sampler, val = data
+        trainer = Trainer(_model(), dict(CFG))
+        trainer.auto_train(X_train=(dataset, sampler), X_val=val, steps=60,
+                           debug_path=str(tmp_path))
+        # loss history recorded and decreasing overall
+        losses = trainer.history["loss"]
+        assert len(losses) == 60
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+        # SWA pool capped at top_k
+        assert 0 < len(trainer.best_training_checkpoints) <= 3
+        # validation ran and was recorded
+        assert trainer.history["val_loss_steps"]
+        assert "final_report" in trainer.history
+
+    def test_hardness_evolves(self, data, tmp_path):
+        dataset, sampler, _ = data
+        trainer = Trainer(_model(), dict(CFG))
+        before = dataset.sample_hardness.copy()
+        trainer.train_model(X=(dataset, sampler), X_val=None, max_steps=30,
+                            log_path=str(tmp_path))
+        assert not np.allclose(before, dataset.sample_hardness)
+
+    def test_validate_metrics(self, data):
+        dataset, sampler, val = data
+        trainer = Trainer(_model(), dict(CFG))
+        m = trainer.validate(val)
+        for key in ("val_loss", "val_recall", "val_fpr", "error_score",
+                    "best_threshold", "total_false_alarms", "total_misses"):
+            assert key in m
+        assert 0.2 <= m["best_threshold"] <= 0.8
+        assert m["error_score"] == (4.0 * m["total_misses"]
+                                    + 1.0 * m["total_false_alarms"])
+
+    def test_checkpoint_roundtrip(self, data, tmp_path):
+        dataset, sampler, _ = data
+        trainer = Trainer(_model(), dict(CFG))
+        trainer.train_model(X=(dataset, sampler), X_val=None, max_steps=10,
+                            log_path=str(tmp_path))
+        path = trainer.save_checkpoint(str(tmp_path / "ck"), 9, sampler,
+                                       ema_loss=0.5)
+        trainer2 = Trainer(_model(), dict(CFG))
+        ckpt = trainer2.restore_checkpoint(path, sampler)
+        assert ckpt["step"] == 9
+        assert ckpt["ema_loss"] == 0.5
+        assert len(trainer2.history["loss"]) == len(trainer.history["loss"])
+        import jax
+        for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                        jax.tree_util.tree_leaves(trainer2.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_find_latest_checkpoint(self, tmp_path):
+        d = tmp_path / "cks"
+        d.mkdir()
+        for s in (100, 500, 250):
+            (d / f"checkpoint_step_{s}.pkl").write_bytes(b"x")
+        latest = Trainer.find_latest_checkpoint(str(d))
+        assert latest.endswith("checkpoint_step_500.pkl")
+        assert Trainer.find_latest_checkpoint(str(tmp_path / "nope")) is None
