@@ -137,16 +137,44 @@ class AudioFeatures:
 
     def embed_clips(self, x, batch_size: int = 128, ncpu: int = 1) -> np.ndarray:
         """[N, samples] int16/float audio -> [N, frames, 96]
-        (AudioFeatures.py:301-384). batch_size bounds device memory."""
+        (AudioFeatures.py:301-384). batch_size bounds per-call device memory.
+
+        Multi-chip: with more than one device the batch is sharded over the
+        data axis of a 1-D mesh — bulk feature extraction scales linearly
+        across a pod slice (new capability; the reference ThreadPools a CPU,
+        AudioFeatures.py:192-299)."""
         del ncpu
         x = np.asarray(x)
         if x.ndim == 1:
             x = x[None]
+        sharding = self._data_sharding()
         outs = []
         for i in range(0, x.shape[0], batch_size):
-            batch = jnp.asarray(x[i:i + batch_size], jnp.float32)
-            outs.append(np.asarray(self._jit_embed(batch)))
+            batch = np.asarray(x[i:i + batch_size], np.float32)
+            n = batch.shape[0]
+            if sharding is not None:
+                n_dev = len(jax.devices())
+                pad = (-n) % n_dev
+                if pad:
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad,) + batch.shape[1:],
+                                         np.float32)])
+                dev_batch = jax.device_put(batch, sharding)
+                outs.append(np.asarray(self._jit_embed(dev_batch))[:n])
+            else:
+                outs.append(np.asarray(self._jit_embed(jnp.asarray(batch))))
         return np.concatenate(outs, axis=0)
+
+    @staticmethod
+    @functools.lru_cache(maxsize=1)
+    def _data_sharding():
+        """1-D batch sharding over all devices, or None on a single device."""
+        devices = jax.devices()
+        if len(devices) <= 1:
+            return None
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        mesh = Mesh(np.asarray(devices), ("data",))
+        return NamedSharding(mesh, PartitionSpec("data"))
 
     def _get_melspectrogram(self, x) -> np.ndarray:
         """Whole-clip mel (AudioFeatures.py:124-153 contract)."""

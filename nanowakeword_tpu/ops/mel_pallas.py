@@ -40,24 +40,37 @@ SPAN_EXTRA = melops.LEFT_PAD      # 320 extra samples per frame tile
 
 
 def _kernel(audio_ref, cos_ref, sin_ref, fb_ref, out_ref, scratch, sem):
-    """One grid cell: FT frames of one batch row."""
+    """One grid cell: FT frames of one batch row.
+
+    audio_ref is pre-reshaped [B, T+2, HOP] on the XLA side (a free
+    bitcast), so the DMA lands 2-D in VMEM directly — Mosaic does not
+    support 1-D -> 2-D reshapes of whole vectors in-kernel.
+
+    The overlapping frame matrix is never materialised: since the window is
+    3 hops, `frames @ W == sum_k r_k @ W_k` where r_k are the three
+    row-shifted [FT, HOP] views of the span and W_k the matching [HOP, 257]
+    slabs of the DFT basis. Three MXU matmuls per basis, zero concats (lane
+    concatenation is what stalled the Mosaic compiler).
+    """
     b = pl.program_id(0)
     j = pl.program_id(1)
     ft = out_ref.shape[1]
-    span = ft * melops.HOP + SPAN_EXTRA
 
     dma = pltpu.make_async_copy(
-        audio_ref.at[b, pl.ds(j * ft * melops.HOP, span)], scratch, sem)
+        audio_ref.at[b, pl.ds(j * ft, ft + 2), :], scratch, sem)
     dma.start()
     dma.wait()
 
-    # frames via three shifted views of the [FT+2, 160] reshape
-    r = scratch[:].reshape(ft + 2, melops.HOP)
-    frames = jnp.concatenate([r[:-2, :], r[1:-1, :], r[2:, :]], axis=-1)
-    frames = frames.astype(jnp.bfloat16)
+    def dft(basis_ref):
+        acc = jnp.zeros((ft, N_BINS), jnp.float32)
+        for k in range(3):
+            r_k = scratch[k:k + ft, :].astype(jnp.bfloat16)
+            acc = acc + jnp.dot(r_k, basis_ref[k],
+                                preferred_element_type=jnp.float32)
+        return acc
 
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    re = dft(cos_ref)
+    im = dft(sin_ref)
     power = re * re + im * im
     mel = jnp.dot(power.astype(jnp.bfloat16), fb_ref[:],
                   preferred_element_type=jnp.float32)
@@ -91,8 +104,12 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False):
     ft = _frame_tile(t)
 
     padded = jnp.pad(x, ((0, 0), (melops.LEFT_PAD, 0)))
+    audio3d = padded.reshape(b, t + 2, melops.HOP)
     cos_m, sin_m, fb = melops._dft_mel_matrices("bfloat16")
-    span = ft * melops.HOP + SPAN_EXTRA
+    # split the [480, 257] bases into three [HOP, 257] slabs (one per
+    # hop-block of the window)
+    cos3 = np.asarray(cos_m).reshape(3, melops.HOP, N_BINS)
+    sin3 = np.asarray(sin_m).reshape(3, melops.HOP, N_BINS)
 
     grid = (b, t // ft)
     out = pl.pallas_call(
@@ -100,9 +117,9 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),     # audio stays in HBM
-            pl.BlockSpec((melops.WINDOW, N_BINS), lambda i, j: (0, 0),
+            pl.BlockSpec((3, melops.HOP, N_BINS), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((melops.WINDOW, N_BINS), lambda i, j: (0, 0),
+            pl.BlockSpec((3, melops.HOP, N_BINS), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_BINS, melops.N_MELS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -112,11 +129,11 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, melops.N_MELS), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((span,), jnp.float32),
+            pltpu.VMEM((ft + 2, melops.HOP), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(padded, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(fb))
+    )(audio3d, jnp.asarray(cos3), jnp.asarray(sin3), jnp.asarray(fb))
     return out
 
 
