@@ -292,6 +292,13 @@ class Trainer:
         if table_updater is not None:
             table_updater.update(force_print=True)
 
+        # optional device tracing (new capability, SURVEY.md §5.1): capture
+        # an xprof trace of steps [profile_start, profile_start + profile_steps)
+        profile_dir = config.get("profile_trace_dir")
+        profile_start = int(config.get("profile_start_step", 10))
+        profile_steps = int(config.get("profile_steps", 20))
+        profiling_active = False
+
         # Async metric pipeline: don't block on step N's results until step
         # N+1 has been dispatched — hides the device->host sync behind compute.
         pending = None  # (step_ndx, indices, metrics)
@@ -369,6 +376,15 @@ class Trainer:
             feats, labels, indices = dataset.gather(batch_indices)
             if step_ndx % 100 == 0:
                 labels_cache[step_ndx] = labels.copy()
+
+            if profile_dir and not profiling_active \
+                    and step_ndx == profile_start:
+                jax.profiler.start_trace(str(profile_dir))
+                profiling_active = True
+            if profiling_active and step_ndx == profile_start + profile_steps:
+                jax.profiler.stop_trace()
+                profiling_active = False
+                print_info(f"Device trace written to {profile_dir}")
 
             if self.mesh is not None:
                 from nanowakeword_tpu.parallel.dp import device_put_batch
@@ -455,6 +471,9 @@ class Trainer:
 
         if pending is not None:
             drain(pending)
+        if profiling_active:
+            jax.profiler.stop_trace()
+            print_info(f"Device trace written to {profile_dir}")
         return step_ndx
 
     # -- auto_train (train_model.py:240-343) ----------------------------------------

@@ -9,12 +9,14 @@ from nanowakeword_tpu.ops.mel_pallas import _frame_tile, mel_frontend_pallas
 
 
 class TestFrameTile:
-    def test_divisor_selection(self):
-        assert _frame_tile(100) == 100
-        assert _frame_tile(200) == 100
-        assert _frame_tile(130) == 65
+    def test_8_aligned_min_padding(self):
+        # tiles are multiples of 8; padded length ceil(t/ft)*ft is minimised
+        for t in (100, 104, 200, 256, 500):
+            ft = _frame_tile(t)
+            assert ft % 8 == 0 and 48 <= ft <= 128
+        assert _frame_tile(100) == 104   # single tile, 4 frames padding
+        assert _frame_tile(104) == 104
         assert _frame_tile(256) == 128
-        assert _frame_tile(7) == 7
 
 
 @pytest.mark.parametrize("shape", [(1, 16000), (3, 32000)])
