@@ -136,7 +136,166 @@ def bench_stream_latency(n_frames: int = 200) -> float:
     return float(np.percentile(times, 50) * 1000.0)
 
 
+def _fetch_timed(fn, *args, iters: int = 32, per_item: int = 1):
+    """Chained fori_loop timing with honest value-fetch synchronisation."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(*a):
+        def body(_, carry):
+            out = fn(*a[:-1], a[-1] + carry * jnp.float32(1e-30))
+            return jnp.sum(out).astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(loop(*args))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(loop(*args))
+        best = min(best, time.perf_counter() - t0)
+    return per_item * iters / best
+
+
+def bench_all(batch: int = 2048):
+    """The five BASELINE configs, reported as items/sec each."""
+    import jax
+    import jax.numpy as jnp
+
+    from nanowakeword_tpu.data.features import EMB_OFFSET
+    from nanowakeword_tpu.models.embedding import SpeechEmbeddingEncoder
+    from nanowakeword_tpu.models.model import Model
+    from nanowakeword_tpu.ops import mel as melops
+    from nanowakeword_tpu.ops.augment import (AugmentParams, augment_batch,
+                                              spec_augment)
+    from nanowakeword_tpu.train.optim import build_optimizer
+    from nanowakeword_tpu.train.step import create_train_state, \
+        make_train_step
+
+    rng = np.random.default_rng(0)
+    results = {}
+    base = {"activation_function": "relu", "embedding_dim": 64,
+            "crnn_cnn_channels": [16, 32, 32], "crnn_rnn_type": "gru",
+            "transformer_d_model": 128, "transformer_n_head": 4,
+            "conformer_d_model": 144, "conformer_n_head": 4,
+            "quartznet_config": [[256, 33, 1], [256, 33, 1], [512, 39, 1]]}
+
+    def build(mt, **kw):
+        return Model(config=dict(base), model_name=f"b_{mt}",
+                     input_shape=(16, 96), model_type=mt, layer_dim=64,
+                     n_blocks=2, dropout_prob=0.0, **kw)
+
+    encoder = SpeechEmbeddingEncoder(dtype=jnp.bfloat16, precision=None)
+    enc_vars = jax.device_put(encoder.init(jax.random.PRNGKey(10),
+                                           jnp.zeros((1, 76, 32))))
+    feats16 = jax.device_put(np.asarray(
+        rng.normal(size=(batch, 16, 96)), np.float32))
+    audio1s = jax.device_put(np.asarray(
+        rng.integers(-16000, 16000, (batch, 16000)), np.float32))
+
+    # 1. DNN scoring precomputed features (evaluate_model_with_features path)
+    dnn = build("dnn")
+    results["dnn_features_scores_per_s"] = _fetch_timed(
+        lambda v, f: jax.nn.sigmoid(dnn.module.apply(v, f,
+                                                     deterministic=True)),
+        jax.device_put(dnn.variables), feats16, per_item=batch)
+
+    # 2. CNN + GRU end-to-end wav -> score (evaluate_model_with_audio path)
+    for mt in ("cnn", "gru"):
+        m = build(mt)
+
+        def e2e(v, ev, a, _m=m):
+            mel = melops.mel_frontend(a, compute_dtype=jnp.bfloat16)
+            emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
+            f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
+            return jax.nn.sigmoid(_m.module.apply(v, f, deterministic=True))
+
+        results[f"{mt}_e2e_clips_per_s"] = _fetch_timed(
+            e2e, jax.device_put(m.variables), enc_vars, audio1s,
+            per_item=batch)
+
+    # 3. CRNN training step with augmentation (noise mix + SpecAugment)
+    crnn = build("crnn")
+    tx = build_optimizer({"optimizer_type": "adamw",
+                          "learning_rate_max": 1e-3,
+                          "lr_scheduler_type": "onecycle"}, 1000)
+    state = create_train_state(crnn.module, crnn.variables, tx)
+    step = make_train_step(crnn.module, tx, donate=False, jit=False)
+    labels = jax.device_put(np.asarray(rng.random(batch) < 0.5, np.float32))
+    aug_params = AugmentParams.from_settings(None)
+    bg = jax.device_put(np.asarray(
+        rng.integers(-2000, 2000, (batch, 16000)), np.float32))
+    rirs = jax.device_put(np.zeros((batch, 1600), np.float32))
+    fg_lens = jax.device_put(np.full(batch, 16000, np.int32))
+    flags = jax.device_put(np.ones(batch, bool))
+    no_flags = jax.device_put(np.zeros(batch, bool))
+
+    def train_with_aug(st, key_audio):
+        key = jax.random.PRNGKey(0)
+        aug = augment_batch(key, key_audio, bg, rirs, fg_lens, flags,
+                            no_flags, aug_params).astype(jnp.float32)
+        mel = melops.mel_frontend(aug, compute_dtype=jnp.bfloat16)
+        mel = spec_augment(key, mel)
+        emb = encoder.apply(enc_vars, mel[:, EMB_OFFSET:])
+        f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
+        new_state, metrics = step(st, f, labels)
+        return metrics.loss
+
+    results["crnn_train_aug_clips_per_s"] = _fetch_timed(
+        lambda a: train_with_aug(state, a), audio1s, per_item=batch)
+
+    # 4. BcResNet + QuartzNet feature-extraction + scoring throughput
+    for mt in ("bcresnet", "quartznet"):
+        m = build(mt)
+
+        def feat_fwd(v, ev, a, _m=m):
+            mel = melops.mel_frontend(a, compute_dtype=jnp.bfloat16)
+            emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
+            f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
+            return jax.nn.sigmoid(_m.module.apply(v, f, deterministic=True))
+
+        results[f"{mt}_feature_clips_per_s"] = _fetch_timed(
+            feat_fwd, jax.device_put(m.variables), enc_vars, audio1s,
+            per_item=batch)
+
+    # 5. Conformer + Transformer stateful frame-by-frame streaming
+    from nanowakeword_tpu.data.features import AudioFeatures
+    for mt in ("conformer", "transformer"):
+        m = build(mt)
+        af = AudioFeatures()
+
+        def fused(v, state_, chunk, _m=m):
+            ns = af._stream_step_impl(state_, chunk)
+            f = ns.feat_buf[-16:][None]
+            return ns, jax.nn.sigmoid(
+                _m.module.apply(v, f, deterministic=True).reshape(()))
+
+        sstep = jax.jit(fused, donate_argnums=(1,))
+        chunk = jnp.asarray(rng.integers(-16000, 16000, 1280)
+                            .astype(np.float32))
+        st = af.state
+        for _ in range(3):
+            st, sc = sstep(m.variables, st, chunk)
+            float(sc)
+        times = []
+        for _ in range(60):
+            t0 = time.perf_counter()
+            st, sc = sstep(m.variables, st, chunk)
+            float(sc)
+            times.append(time.perf_counter() - t0)
+        results[f"{mt}_stream_p50_ms"] = float(
+            np.percentile(times, 50) * 1000)
+
+    return results
+
+
 def main():
+    if "--all" in sys.argv:
+        results = bench_all()
+        for k, v in results.items():
+            print(f"{k:>40}: {v:,.1f}")
+        return
+
     throughput = bench_throughput()
     try:
         p50_ms = bench_stream_latency()

