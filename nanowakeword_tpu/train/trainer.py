@@ -153,10 +153,30 @@ class Trainer:
         }
 
     def save_checkpoint(self, checkpoint_dir, step_ndx, sampler, **extra):
+        """Durable checkpoint. Backend selectable via
+        `checkpointing.backend`: "pickle" (default, single file) or "orbax"
+        (directory: orbax array store + pickled host metadata — the
+        jax-ecosystem format for large states / async saving)."""
         os.makedirs(checkpoint_dir, exist_ok=True)
+        payload = self._checkpoint_payload(step_ndx, sampler, extra)
+        backend = str(self.config.get("checkpointing", {})
+                      .get("backend", "pickle")).lower()
+
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+            path = os.path.join(checkpoint_dir,
+                                f"checkpoint_step_{step_ndx}.orbax")
+            state = payload.pop("state")
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(os.path.abspath(os.path.join(path, "state")),
+                       state._asdict())
+            with open(os.path.join(path, "meta.pkl"), "wb") as f:
+                pickle.dump(payload, f)
+            return path
+
         path = os.path.join(checkpoint_dir, f"checkpoint_step_{step_ndx}.pkl")
         with open(path, "wb") as f:
-            pickle.dump(self._checkpoint_payload(step_ndx, sampler, extra), f)
+            pickle.dump(payload, f)
         return path
 
     @staticmethod
@@ -165,14 +185,27 @@ class Trainer:
             return None
         best_step, best = -1, None
         for f in os.listdir(checkpoint_dir):
-            m = re.match(r"checkpoint_step_(\d+)\.pkl$", f)
+            m = re.match(r"checkpoint_step_(\d+)\.(pkl|orbax)$", f)
             if m and int(m.group(1)) > best_step:
                 best_step, best = int(m.group(1)), f
         return os.path.join(checkpoint_dir, best) if best else None
 
     def restore_checkpoint(self, path, sampler=None) -> dict:
-        with open(path, "rb") as f:
-            ckpt = pickle.load(f)
+        if path.endswith(".orbax"):
+            import orbax.checkpoint as ocp
+            ckptr = ocp.PyTreeCheckpointer()
+            # restore against the live state as the structure template so
+            # optax namedtuples keep their types
+            template = jax.tree_util.tree_map(np.asarray,
+                                              self.state._asdict())
+            state_dict = ckptr.restore(
+                os.path.abspath(os.path.join(path, "state")), item=template)
+            with open(os.path.join(path, "meta.pkl"), "rb") as f:
+                ckpt = pickle.load(f)
+            ckpt["state"] = TrainState(**state_dict)
+        else:
+            with open(path, "rb") as f:
+                ckpt = pickle.load(f)
         st = ckpt["state"]
         self.state = TrainState(
             params=jax.tree_util.tree_map(jnp.asarray, st.params),
@@ -433,7 +466,12 @@ class Trainer:
                      if f.startswith("checkpoint_step_")),
                     key=lambda f: int(re.search(r"(\d+)", f).group(1)))
                 while len(all_ckpts) > ckpt_limit:
-                    os.remove(os.path.join(checkpoint_dir, all_ckpts.pop(0)))
+                    victim = os.path.join(checkpoint_dir, all_ckpts.pop(0))
+                    if os.path.isdir(victim):
+                        import shutil
+                        shutil.rmtree(victim)
+                    else:
+                        os.remove(victim)
 
             # validation (train_model.py:714-756)
             if (X_val is not None and len(X_val) > 0

@@ -103,3 +103,30 @@ class TestTraining:
         latest = Trainer.find_latest_checkpoint(str(d))
         assert latest.endswith("checkpoint_step_500.pkl")
         assert Trainer.find_latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+class TestOrbaxBackend:
+    def test_orbax_checkpoint_roundtrip(self, data, tmp_path):
+        cfg = dict(CFG)
+        cfg["checkpointing"] = {"enabled": True, "backend": "orbax",
+                                "interval_steps": 5, "limit": 2}
+        dataset, sampler, _ = data
+        trainer = Trainer(_model(), cfg)
+        trainer.train_model(X=(dataset, sampler), X_val=None, max_steps=6,
+                            log_path=str(tmp_path))
+        path = trainer.save_checkpoint(str(tmp_path / "ck"), 6, sampler,
+                                       ema_loss=0.3)
+        assert path.endswith(".orbax")
+        trainer2 = Trainer(_model(), cfg)
+        ckpt = trainer2.restore_checkpoint(path, sampler)
+        assert ckpt["step"] == 6
+        import jax
+        for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                        jax.tree_util.tree_leaves(trainer2.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # a fresh optimizer step must work on the restored opt_state
+        feats, labels, _ = dataset.gather(np.arange(8))
+        trainer2.state, m = trainer2._step(trainer2.state,
+                                           np.asarray(feats),
+                                           np.asarray(labels))
+        assert np.isfinite(float(m.loss))
