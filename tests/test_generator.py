@@ -1,0 +1,129 @@
+"""Synthetic data generation: G2P, adversarial texts, TTS, task engine."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from nanowakeword_tpu.data.generator import g2p
+from nanowakeword_tpu.data.generator.adversarial_texts import (
+    PhonemeAdversarialGenerator, adversarial_texts)
+from nanowakeword_tpu.data.generator.generate_clips import generate_clips
+from nanowakeword_tpu.data.generator.tts import (cleanup_filter,
+                                                 formant_synthesize,
+                                                 generate_samples)
+
+
+class TestG2P:
+    def test_basic_words(self):
+        assert g2p.word_to_phones("ship") == ["SH", "IH", "P"]
+        assert g2p.word_to_phones("nano")[0] == "N"
+        assert all(p in g2p.PHONE_TO_GRAPHEME
+                   for p in g2p.word_to_phones("waketh"))
+
+    def test_roundtrip_produces_pronounceable_text(self):
+        phones = g2p.word_to_phones("hello")
+        word = g2p.phones_to_word(phones)
+        assert word and word.isalpha()
+
+    def test_phone_distance(self):
+        a = ["HH", "EH", "L", "OW"]
+        assert g2p.phone_distance(a, a) == 0.0
+        assert g2p.phone_distance(a, ["HH", "EH", "L", "UW"]) == 0.25
+        assert g2p.phone_distance(a, []) == 1.0
+
+    def test_clean_and_collapse(self):
+        assert g2p.clean_text("Hey, NANO!!") == "hey nano"
+        assert g2p.collapse_repeated_letters("heyyyy") == "heyy"
+
+
+class TestAdversarialTexts:
+    def test_generates_n_distinct_phrases(self):
+        texts = adversarial_texts("hey nano", N=50)
+        assert len(texts) == 50
+        assert len(set(texts)) > 25          # mostly distinct
+        assert "hey nano" not in texts       # never the wake phrase itself
+
+    def test_deterministic_with_seed(self):
+        a = adversarial_texts("hey nano", N=20, seed=7)
+        b = adversarial_texts("hey nano", N=20, seed=7)
+        assert a == b
+
+    def test_multi_word_embedding(self):
+        texts = adversarial_texts("nano", N=40, multi_word_prob=1.0,
+                                  max_multi_word_len=2)
+        assert any(len(t.split()) > 1 for t in texts)
+
+
+class TestPhonemeAdversarial:
+    def test_min_distance_respected(self):
+        gen = PhonemeAdversarialGenerator(min_distance=0.4)
+        base = gen.phonemize("hey nano")
+        for text in gen.generate("hey nano", 20):
+            variant = gen.phonemize(text)
+            # regenerated phones differ from the base phrase phones
+            assert gen.calculate_distance(base, variant) > 0.05
+
+    def test_produces_text(self):
+        gen = PhonemeAdversarialGenerator(min_distance=0.3)
+        variants = gen.generate("hey nano", 15)
+        assert len(variants) == 15
+        assert all(v.replace(" ", "").isalpha() for v in variants)
+
+
+class TestTTS:
+    def test_formant_synthesis_produces_audio(self):
+        audio = formant_synthesize("hey nano", seed=0)
+        assert audio.dtype == np.float32
+        assert 0.3 <= len(audio) / 16000 <= 4.0      # plausible duration
+        assert 0.1 < np.abs(audio).max() <= 1.0
+        # different seeds -> different audio
+        audio2 = formant_synthesize("hey nano", seed=1)
+        assert len(audio) != len(audio2) or not np.allclose(audio, audio2)
+
+    def test_cleanup_filter_preserves_shape(self):
+        x = np.random.default_rng(0).normal(0, 0.1, 8000).astype(np.float32)
+        y = cleanup_filter(x)
+        assert y.shape == x.shape
+
+    def test_generate_samples_writes_wavs(self, tmp_path):
+        paths = generate_samples(["hey nano", "ok go"], max_samples=4,
+                                 output_dir=str(tmp_path), file_prefix="t")
+        assert len(paths) == 4
+        with wave.open(paths[0], "rb") as f:
+            assert f.getframerate() == 16000
+            assert f.getnchannels() == 1
+            assert f.getsampwidth() == 2
+            assert f.getnframes() > 4000
+
+
+class TestTaskEngine:
+    def test_runs_all_source_types(self, tmp_path):
+        config = {
+            "target_phrase": "hey nano",
+            "data_generation_tasks": [
+                {"name": "pos", "output_dir": str(tmp_path / "pos"),
+                 "num_samples": 2,
+                 "text_source": {"type": "fixed_phrase"}},
+                {"name": "list", "output_dir": str(tmp_path / "lst"),
+                 "num_samples": 2,
+                 "text_source": {"type": "from_list",
+                                 "phrases": ["a b", "c d"]}},
+                {"name": "adv", "output_dir": str(tmp_path / "adv"),
+                 "num_samples": 2,
+                 "text_source": {"type": "auto_adversarial"}},
+                {"name": "ph", "output_dir": str(tmp_path / "ph"),
+                 "num_samples": 2,
+                 "text_source": {"type": "phoneme_adversarial",
+                                 "min_distance": 0.3}},
+                {"name": "off", "enabled": False,
+                 "output_dir": str(tmp_path / "off"), "num_samples": 2,
+                 "text_source": {"type": "fixed_phrase"}},
+            ],
+        }
+        generate_clips(config)
+        for sub in ("pos", "lst", "adv", "ph"):
+            wavs = os.listdir(tmp_path / sub)
+            assert len(wavs) == 2, sub
+        assert not (tmp_path / "off").exists()
