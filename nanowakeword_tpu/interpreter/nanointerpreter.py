@@ -419,32 +419,43 @@ class NanoInterpreter:
         if self.preprocessor is None or not self.models:
             return None
         sessions = list(self.models.items())
-        if any(not isinstance(s, _LocalSession) or s.stateful
-               for _, s in sessions):
+        if any(not isinstance(s, _LocalSession) for _, s in sessions):
             return None
 
         pre = self.preprocessor
+        names = [name for name, _ in sessions]
         lengths = [self.model_feature_length[name] for name, _ in sessions]
+        stateful = [s.stateful for _, s in sessions]
         all_variables = tuple(s.model.variables for _, s in sessions)
         modules = [s.model.module for _, s in sessions]
 
-        def step(variables_tuple, state, chunk):
+        def step(variables_tuple, state, carries, chunk):
             new_state = pre._stream_step_impl(state, chunk)
-            scores = []
-            for module, variables, L in zip(modules, variables_tuple,
-                                            lengths):
+            scores, new_carries = [], []
+            for module, variables, L, is_st, carry in zip(
+                    modules, variables_tuple, lengths, stateful, carries):
                 feats = new_state.feat_buf[-L:][None]
-                logits = module.apply(variables, feats, deterministic=True)
+                if is_st:
+                    logits, new_carry = module.apply(
+                        variables, feats, carry=carry, deterministic=True)
+                    new_carries.append(new_carry)
+                else:
+                    logits = module.apply(variables, feats,
+                                          deterministic=True)
+                    new_carries.append(carry)
                 scores.append(jax.nn.sigmoid(logits.reshape(())))
-            return new_state, jnp.stack(scores)
+            return new_state, tuple(new_carries), jnp.stack(scores)
 
         jitted = jax.jit(step, donate_argnums=(1,))
-        names = [name for name, _ in sessions]
 
         def run(chunk_f32):
-            self.preprocessor.state, scores = jitted(
-                all_variables, self.preprocessor.state, chunk_f32)
+            carries = tuple(self.hidden_states.get(n) for n in names)
+            self.preprocessor.state, new_carries, scores = jitted(
+                all_variables, self.preprocessor.state, carries, chunk_f32)
             self.preprocessor._frames_seen += 1
+            for n, is_st, c in zip(names, stateful, new_carries):
+                if is_st:
+                    self.hidden_states[n] = c
             return dict(zip(names, np.asarray(scores, np.float64)))
 
         return run

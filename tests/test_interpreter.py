@@ -148,3 +148,31 @@ class TestVAD:
         for _ in range(200):
             vad.predict(np.zeros(1280))
         assert len(vad.prediction_buffer) == 125
+
+
+class TestStatefulStreaming:
+    def test_streaming_gru_carries_state(self, tmp_path):
+        from nanowakeword_tpu.export.artifact import save_nww
+        from nanowakeword_tpu.models.model import Model
+        cfg = {"activation_function": "relu", "embedding_dim": 16}
+        m = Model(config=cfg, model_name="sgru", input_shape=(1, 96),
+                  model_type="streaming_gru", layer_dim=16, n_blocks=1,
+                  dropout_prob=0.0)
+        assert m.stateful
+        path = str(tmp_path / "sgru.nww")
+        save_nww(path, model=m, config=cfg, model_name="sgru")
+
+        interp = NanoInterpreter.load_model(path)
+        assert interp.is_stateful["sgru"]
+        rng = np.random.default_rng(3)
+        for _ in range(8):
+            interp.predict(rng.integers(-8000, 8000, 1280,
+                                        dtype=np.int64).astype(np.int16))
+        carry1 = interp.hidden_states["sgru"]
+        assert carry1 is not None
+        interp.predict(rng.integers(-8000, 8000, 1280,
+                                    dtype=np.int64).astype(np.int16))
+        carry2 = interp.hidden_states["sgru"]
+        assert not np.allclose(np.asarray(carry1[0]), np.asarray(carry2[0]))
+        interp.reset()
+        assert interp.hidden_states["sgru"] is None
