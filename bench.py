@@ -230,19 +230,32 @@ def bench_all(batch: int = 2048):
     flags = jax.device_put(np.ones(batch, bool))
     no_flags = jax.device_put(np.zeros(batch, bool))
 
-    def train_with_aug(st, key_audio):
+    @jax.jit
+    def train_with_aug(st, ev, key_audio, bg_, rirs_, fg_lens_, flags_,
+                       no_flags_, labels_):
+        # everything device-resident passes as ARGS: closure-captured arrays
+        # get baked into the graph as constants and blow up remote compiles
         key = jax.random.PRNGKey(0)
-        aug = augment_batch(key, key_audio, bg, rirs, fg_lens, flags,
-                            no_flags, aug_params).astype(jnp.float32)
+        aug = augment_batch(key, key_audio, bg_, rirs_, fg_lens_, flags_,
+                            no_flags_, aug_params).astype(jnp.float32)
         mel = melops.mel_frontend(aug, compute_dtype=jnp.bfloat16)
         mel = spec_augment(key, mel)
-        emb = encoder.apply(enc_vars, mel[:, EMB_OFFSET:])
+        emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
         f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
-        new_state, metrics = step(st, f, labels)
-        return metrics.loss
+        new_state, metrics = step(st, f, labels_)
+        return new_state, metrics.loss
 
-    results["crnn_train_aug_clips_per_s"] = _fetch_timed(
-        lambda a: train_with_aug(state, a), audio1s, per_item=batch)
+    state = jax.device_put(state)
+    targs = (enc_vars, audio1s, bg, rirs, fg_lens, flags, no_flags, labels)
+    state, loss = train_with_aug(state, *targs)
+    float(loss)  # compile + warm
+    n_steps = 8
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = train_with_aug(state, *targs)
+        float(loss)  # per-call sync; overhead ~1 RTT/step, noted
+    results["crnn_train_aug_clips_per_s"] = (
+        batch * n_steps / (time.perf_counter() - t0))
 
     # 4. BcResNet + QuartzNet feature-extraction + scoring throughput
     for mt in ("bcresnet", "quartznet"):
