@@ -93,7 +93,9 @@ def determine_clip_length(config) -> int:
 
 
 def _to_plain_dict(maybe_proxy):
-    if maybe_proxy is None:
+    # `augmentation_settings: false` is the disable convention
+    # (transform_clips.py:272), so non-mappings collapse to {}
+    if maybe_proxy is None or isinstance(maybe_proxy, bool):
         return {}
     if hasattr(maybe_proxy, "to_dict"):
         return maybe_proxy.to_dict()
