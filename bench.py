@@ -195,10 +195,14 @@ def bench_all(batch: int = 2048):
 
     # 1. DNN scoring precomputed features (evaluate_model_with_features path)
     dnn = build("dnn")
-    results["dnn_features_scores_per_s"] = _fetch_timed(
+    def _emit(k, v):
+        results[k] = v
+        print(f"{k}: {v:,.1f}", flush=True)
+
+    _emit("dnn_features_scores_per_s", _fetch_timed(
         lambda v, f: jax.nn.sigmoid(dnn.module.apply(v, f,
                                                      deterministic=True)),
-        jax.device_put(dnn.variables), feats16, per_item=batch)
+        jax.device_put(dnn.variables), feats16, per_item=batch))
 
     # 2. CNN + GRU end-to-end wav -> score (evaluate_model_with_audio path)
     for mt in ("cnn", "gru"):
@@ -210,9 +214,9 @@ def bench_all(batch: int = 2048):
             f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
             return jax.nn.sigmoid(_m.module.apply(v, f, deterministic=True))
 
-        results[f"{mt}_e2e_clips_per_s"] = _fetch_timed(
+        _emit(f"{mt}_e2e_clips_per_s", _fetch_timed(
             e2e, jax.device_put(m.variables), enc_vars, audio1s,
-            per_item=batch)
+            per_item=batch))
 
     # 3. CRNN training step with augmentation (noise mix + SpecAugment)
     crnn = build("crnn")
@@ -222,7 +226,7 @@ def bench_all(batch: int = 2048):
     state = create_train_state(crnn.module, crnn.variables, tx)
     step = make_train_step(crnn.module, tx, donate=False, jit=False)
     labels = jax.device_put(np.asarray(rng.random(batch) < 0.5, np.float32))
-    aug_params = AugmentParams.from_settings(None)
+    aug_params = AugmentParams.from_settings({"rir_prob": 0.0})
     bg = jax.device_put(np.asarray(
         rng.integers(-2000, 2000, (batch, 16000)), np.float32))
     rirs = jax.device_put(np.zeros((batch, 1600), np.float32))
@@ -254,8 +258,8 @@ def bench_all(batch: int = 2048):
     for _ in range(n_steps):
         state, loss = train_with_aug(state, *targs)
         float(loss)  # per-call sync; overhead ~1 RTT/step, noted
-    results["crnn_train_aug_clips_per_s"] = (
-        batch * n_steps / (time.perf_counter() - t0))
+    _emit("crnn_train_aug_clips_per_s",
+          batch * n_steps / (time.perf_counter() - t0))
 
     # 4. BcResNet + QuartzNet feature-extraction + scoring throughput
     for mt in ("bcresnet", "quartznet"):
@@ -267,9 +271,9 @@ def bench_all(batch: int = 2048):
             f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
             return jax.nn.sigmoid(_m.module.apply(v, f, deterministic=True))
 
-        results[f"{mt}_feature_clips_per_s"] = _fetch_timed(
+        _emit(f"{mt}_feature_clips_per_s", _fetch_timed(
             feat_fwd, jax.device_put(m.variables), enc_vars, audio1s,
-            per_item=batch)
+            per_item=batch))
 
     # 5. Conformer + Transformer stateful frame-by-frame streaming
     from nanowakeword_tpu.data.features import AudioFeatures
@@ -296,8 +300,8 @@ def bench_all(batch: int = 2048):
             st, sc = sstep(m.variables, st, chunk)
             float(sc)
             times.append(time.perf_counter() - t0)
-        results[f"{mt}_stream_p50_ms"] = float(
-            np.percentile(times, 50) * 1000)
+        _emit(f"{mt}_stream_p50_ms",
+              float(np.percentile(times, 50) * 1000))
 
     return results
 

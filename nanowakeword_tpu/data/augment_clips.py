@@ -84,6 +84,9 @@ def augment_clips(clip_paths: List[str],
     """Generator yielding int16 [B, total_length] augmented batches."""
     del sr
     params = AugmentParams.from_settings(augmentation_settings)
+    if not RIR_paths:
+        # static disable: keeps the FFT convolution out of the traced graph
+        params = params._replace(rir_prob=0.0)
     rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
 

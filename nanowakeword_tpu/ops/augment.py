@@ -168,10 +168,14 @@ def _augment_one(key, fg, bg, rir, fg_len, has_bg, has_rir,
     apply_pitch = jax.random.uniform(k_p2, ()) < params.pitch_prob
     mixed = resample_pitch(mixed, semis, apply_pitch)
 
-    # RIR, probability gate (only when an impulse was provided)
-    apply_rir = jnp.logical_and(
-        jax.random.uniform(k_p3, ()) < params.rir_prob, has_rir)
-    mixed = rir_convolve(mixed, rir, apply_rir)
+    # RIR, probability gate (only when an impulse was provided).
+    # params is STATIC: with rir_prob == 0 the FFT convolution is not even
+    # traced — a jnp.where would still execute B large FFTs per batch and
+    # dominate the step (measured: ~1.5 s/step at batch 2048).
+    if params.rir_prob > 0:
+        apply_rir = jnp.logical_and(
+            jax.random.uniform(k_p3, ()) < params.rir_prob, has_rir)
+        mixed = rir_convolve(mixed, rir, apply_rir)
 
     # peak-normalised random volume (augment_clips.py:246-255)
     target = jax.random.uniform(k_vol, (), minval=params.min_volume,
