@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 EPS = 1.19209e-07          # float32 eps, matches torch.finfo(float32).eps
 MIN_BG_RMS = 0.005         # augment_clips.py:62
@@ -70,22 +71,74 @@ def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
     return jnp.where(has_bg, bg + shifted * scale, shifted)
 
 
+def pitch_window(max_abs_semitones: float, frame: int = 160) -> int:
+    """Source-span width needed for rates up to 2^(st/12), 32-aligned."""
+    span = int(np.ceil(frame * 2.0 ** (abs(max_abs_semitones) / 12.0))) + 34
+    return ((span + 31) // 32) * 32
+
+
 def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
-                   apply: jnp.ndarray) -> jnp.ndarray:
+                   apply: jnp.ndarray, frame: int = 160,
+                   window: int = 384) -> jnp.ndarray:
     """Pitch/speed shift by linear-interpolation resampling (fixed shape).
 
-    rate = 2^(semitones/12); reads position i*rate (clamped), so pitch up
-    shortens content (tail zero-padded implicitly by clamping into the
-    original signal's zeros-free region — we mask past-the-end reads to 0).
+    rate = 2^(semitones/12); output sample i reads position i*rate, so pitch
+    up shortens content (past-the-end reads masked to 0).
+
+    TPU formulation: an element gather `x[floor(i*rate)]` runs at ~1.4 s per
+    2048x32000 batch (measured) — gathers are the TPU's weakest op. Instead:
+      1. per 160-sample output frame, fetch one contiguous `window`-sample
+         source span via a block-row gather (jnp.take over [n/32, 32] rows:
+         coarse, sublane-friendly);
+      2. interpolate inside the span with a one-hot weight matrix contracted
+         on the MXU (`einsum('fk,fjk->fj')`) — zero element gathers.
+    Numerically identical to the direct gather (same linear interpolation).
+
+    `window` must cover frame*max_rate + 33 (`pitch_window()` computes it);
+    the default 384 covers ±12 semitones. The augmentation chain passes the
+    tight static value derived from its pitch bounds.
     """
     n = x.shape[-1]
+    if n % frame != 0:
+        # fall back to the direct formulation for odd lengths (rare paths)
+        rate = 2.0 ** (semitones / 12.0)
+        pos = jnp.arange(n) * rate
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+        frac = pos - lo
+        out = x[lo] * (1.0 - frac) + x[jnp.clip(lo + 1, 0, n - 1)] * frac
+        out = jnp.where(pos <= n - 1, out, 0.0)
+        return jnp.where(apply, out, x)
+
+    blk = 32
+    n_frames = n // frame
     rate = 2.0 ** (semitones / 12.0)
-    pos = jnp.arange(n) * rate
-    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
-    hi = jnp.clip(lo + 1, 0, n - 1)
-    frac = pos - lo
-    out = x[lo] * (1.0 - frac) + x[hi] * frac
-    out = jnp.where(pos <= n - 1, out, 0.0)
+
+    # source span start (block-aligned) per output frame
+    f_start = jnp.arange(n_frames, dtype=jnp.float32) * frame * rate
+    start_blk = jnp.clip((f_start // blk).astype(jnp.int32), 0,
+                         n // blk - window // blk)
+    blocks = x.reshape(n // blk, blk)
+    span_idx = start_blk[:, None] + jnp.arange(window // blk)[None, :]
+    spans = jnp.take(blocks, span_idx, axis=0)          # [F, W/32, 32]
+    spans = spans.reshape(n_frames, window)             # [F, W]
+
+    # absolute read positions and within-span offsets
+    j = jnp.arange(frame, dtype=jnp.float32)
+    pos = (jnp.arange(n_frames, dtype=jnp.float32)[:, None] * frame + j) \
+        * rate                                          # [F, 160]
+    rel = pos - (start_blk * blk)[:, None].astype(jnp.float32)
+    a = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, window - 2)
+    w = jnp.clip(rel - a.astype(jnp.float32), 0.0, 1.0)
+
+    # one-hot interpolation weights contracted on the MXU (no gathers)
+    k = jnp.arange(window, dtype=jnp.int32)
+    onehot_lo = (k[None, None, :] == a[:, :, None]).astype(x.dtype)
+    onehot_hi = (k[None, None, :] == (a + 1)[:, :, None]).astype(x.dtype)
+    weights = onehot_lo * (1.0 - w)[:, :, None] + onehot_hi * w[:, :, None]
+    out = jnp.einsum("fk,fjk->fj", spans, weights,
+                     preferred_element_type=jnp.float32)  # [F, 160]
+    out = out.reshape(n)
+    out = jnp.where(pos.reshape(n) <= n - 1, out, 0.0)
     return jnp.where(apply, out, x)
 
 
@@ -162,11 +215,15 @@ def _augment_one(key, fg, bg, rir, fg_len, has_bg, has_rir,
     apply_gain = jax.random.uniform(k_p1, ()) < params.gain_prob
     mixed = jnp.where(apply_gain, mixed * 10.0 ** (gain_db / 20.0), mixed)
 
-    # pitch/speed, probability gate
-    semis = jax.random.uniform(k_pitch, (), minval=params.min_pitch,
-                               maxval=params.max_pitch)
-    apply_pitch = jax.random.uniform(k_p2, ()) < params.pitch_prob
-    mixed = resample_pitch(mixed, semis, apply_pitch)
+    # pitch/speed, probability gate (static skip when disabled — the
+    # interpolation gather is the chain's most expensive op)
+    if params.pitch_prob > 0:
+        semis = jax.random.uniform(k_pitch, (), minval=params.min_pitch,
+                                   maxval=params.max_pitch)
+        apply_pitch = jax.random.uniform(k_p2, ()) < params.pitch_prob
+        window = pitch_window(max(abs(params.min_pitch),
+                                  abs(params.max_pitch)))
+        mixed = resample_pitch(mixed, semis, apply_pitch, window=window)
 
     # RIR, probability gate (only when an impulse was provided).
     # params is STATIC: with rir_prob == 0 the FFT convolution is not even
