@@ -139,6 +139,93 @@ def _build_training_data(config, manifest):
     return dataset, sampler
 
 
+def _train_end_to_end(config, e2e_cfg, args, model_name, project_dir,
+                      artifacts_dir, model_save_dir, dynamic_table):
+    """End-to-end (audio -> trained encoder + classifier) training stage.
+
+    New capability vs. the reference (which can only train on precomputed
+    features of a frozen encoder). Config:
+
+        end_to_end:
+          enabled: true
+          audio_manifest:              # categories -> dirs (or {key: dir})
+            targets: [data/positive]
+            negatives: [data/negative]
+          clip_samples: 32000
+          context_frames: 16
+          freeze_encoder: false
+    """
+    from nanowakeword_tpu.data.dataset import DynamicClassAwareSampler
+    from nanowakeword_tpu.train.e2e import AudioClipDataset, E2EModel
+
+    audio_manifest = e2e_cfg.get("audio_manifest")
+    if hasattr(audio_manifest, "to_dict"):
+        audio_manifest = audio_manifest.to_dict()
+    if not audio_manifest:
+        audio_manifest = {
+            "targets": [config.get("positive_data_path")],
+            "negatives": [config.get("negative_data_path")],
+        }
+
+    clip_samples = int(e2e_cfg.get("clip_samples",
+                                   config.get("clip_length_samples", 32000)))
+    context_frames = int(e2e_cfg.get("context_frames", 16))
+
+    dataset = AudioClipDataset(audio_manifest, clip_samples=clip_samples)
+    if len(dataset) == 0:
+        raise ValueError("CRITICAL: end_to_end.audio_manifest matched no "
+                         ".wav files.")
+
+    composition = config.get("batch_composition")
+    if hasattr(composition, "to_dict"):
+        composition = composition.to_dict()
+    if not composition:
+        composition = {"targets": 8, "negatives": 16}
+    sampler = DynamicClassAwareSampler(
+        dataset=dataset, batch_composition=composition,
+        feature_manifests={c: (d if isinstance(d, dict)
+                               else {f"{c}_{i}": p
+                                     for i, p in enumerate(d)})
+                           for c, d in audio_manifest.items()},
+        seed=SEED)
+
+    print_info("Initializing end-to-end acoustic stack "
+               f"(clip={clip_samples} samples, context={context_frames} "
+               "frames)...")
+    classifier = Model(
+        n_classes=1, input_shape=(context_frames, 96), config=config,
+        model_name=model_name, model_type=config.get("model_type", "dnn"),
+        layer_dim=int(config["layer_size"]),
+        n_blocks=int(config["n_blocks"]),
+        dropout_prob=float(config.get("dropout_prob", 0.5)))
+    e2e = E2EModel(classifier, clip_samples=clip_samples,
+                   context_frames=context_frames,
+                   freeze_encoder=bool(e2e_cfg.get("freeze_encoder", False)))
+    print_info(f"End-to-end parameters: {e2e.n_params():,} "
+               "(encoder + classifier)")
+
+    trainer_instance = Trainer(model=e2e, config=config)
+    print_step_header("End-to-end training in progress")
+    trainer_instance.auto_train(
+        X_train=(dataset, sampler), X_val=None,
+        steps=int(config.get("steps", 15000)),
+        debug_path=artifacts_dir, table_updater=dynamic_table,
+        resume_from_dir=args.resume)
+
+    classifier.plot_history(artifacts_dir)
+    trained_classifier, encoder_vars = e2e.export_components()
+    export_model(trained_classifier, (context_frames, 96), config,
+                 model_name, model_save_dir, encoder_variables=encoder_vars)
+    export_params_msgpack(trained_classifier, model_name, model_save_dir)
+    try:
+        export_custom_model(trained_classifier, (context_frames, 96), config,
+                            model_name, model_save_dir)
+    except Exception as e:  # noqa: BLE001
+        print_warning(f"Custom export hook encountered an error: {e}")
+    print_info(f"End-to-end model (with trained encoder) exported to "
+               f"{model_save_dir}")
+
+
 def train(cli_args=None):
     args = _build_parser().parse_args(cli_args)
     print_banner()
@@ -212,7 +299,13 @@ def train(cli_args=None):
 
     # -- stage: training -----------------------------------------------------------
     should_train = args.train_model or config.get("train_model", False)
-    if should_train:
+    e2e_cfg = config.get("end_to_end", {})
+    e2e_enabled = bool(e2e_cfg.get("enabled", False)) if e2e_cfg else False
+
+    if should_train and e2e_enabled:
+        _train_end_to_end(config, e2e_cfg, args, model_name, project_dir,
+                          artifacts_dir, model_save_dir, dynamic_table)
+    elif should_train:
         training_start = time.time()
 
         full_manifest = config.get("feature_manifest", {})
