@@ -54,8 +54,13 @@ def _to_plain(tree):
 
 
 def save_nww(path: str, *, model, config, model_name: str,
-             encoder_variables=None, extra_meta: Optional[dict] = None) -> str:
-    """Serialize a trained Model (+ optional frontend encoder) to one file."""
+             encoder_variables=None, extra_meta: Optional[dict] = None,
+             weights_dtype: Optional[str] = None) -> str:
+    """Serialize a trained Model (+ optional frontend encoder) to one file.
+
+    weights_dtype="bfloat16" halves the artifact (useful for lite/gate
+    models shipped to edge fleets); weights are restored to float32 at load.
+    """
     arch_config = {}
     # The model's OWN config wins (a distilled student carries different
     # embedding_dim/activation than the pipeline config used to train the
@@ -102,9 +107,22 @@ def save_nww(path: str, *, model, config, model_name: str,
     if extra_meta:
         header["meta"] = extra_meta
 
-    payload = {"variables": _to_plain(model.variables)}
+    def _cast(tree):
+        if weights_dtype != "bfloat16":
+            return _to_plain(tree)
+        import jax.numpy as jnp
+
+        def leaf(x):
+            x = np.asarray(x)
+            if x.dtype == np.float32:
+                return np.asarray(jnp.asarray(x, jnp.bfloat16))
+            return x
+        return jax.tree_util.tree_map(leaf, tree)
+
+    header["weights_dtype"] = weights_dtype or "float32"
+    payload = {"variables": _cast(model.variables)}
     if encoder_variables is not None:
-        payload["encoder_variables"] = _to_plain(encoder_variables)
+        payload["encoder_variables"] = _cast(encoder_variables)
     blob = serialization.msgpack_serialize(payload)
     header_bytes = json.dumps(header).encode("utf-8")
 
@@ -151,10 +169,24 @@ def load_nww(path: str):
         n_blocks=int(build.get("n_blocks", 1)),
         dropout_prob=float(build.get("dropout_prob", 0.5)),
     )
+    def _upcast(tree):
+        if header.get("weights_dtype", "float32") != "bfloat16":
+            return tree
+        import jax.numpy as jnp
+
+        def leaf(x):
+            arr = np.asarray(x)
+            if arr.dtype == jnp.bfloat16:
+                return arr.astype(np.float32)
+            return arr
+        return jax.tree_util.tree_map(leaf, tree)
+
     restored = serialization.from_state_dict(model.variables,
-                                             payload["variables"])
+                                             _upcast(payload["variables"]))
     model.load_variables(restored)
     encoder_vars = payload.get("encoder_variables")
+    if encoder_vars is not None:
+        encoder_vars = _upcast(encoder_vars)
     return header, model, encoder_vars
 
 

@@ -128,3 +128,30 @@ class TestJournal:
         db = json.load(open(tmp_path / ".cache" / "journal_cache"
                             / "training_history.json"))
         assert len(db) == 2
+
+
+class TestBf16Artifacts:
+    def test_bf16_halves_size_and_roundtrips(self, tmp_path, model):
+        m, cfg = model
+        x = np.random.default_rng(0).normal(size=(4, 16, 96)).astype(
+            np.float32)
+        before = np.asarray(m(x))
+
+        p32 = str(tmp_path / "f32.nww")
+        p16 = str(tmp_path / "bf16.nww")
+        save_nww(p32, model=m, config=cfg, model_name="arti")
+        save_nww(p16, model=m, config=cfg, model_name="arti",
+                 weights_dtype="bfloat16")
+        assert os.path.getsize(p16) < 0.65 * os.path.getsize(p32)
+
+        header, restored, _ = load_nww(p16)
+        assert header["weights_dtype"] == "bfloat16"
+        after = np.asarray(restored(x))
+        # bf16 quantisation noise only
+        np.testing.assert_allclose(before, after, atol=0.05)
+        # restored weights are float32 again (ready for training/serving)
+        import jax
+        assert all(l.dtype == np.float32 or not np.issubdtype(l.dtype,
+                                                              np.floating)
+                   for l in jax.tree_util.tree_leaves(
+                       restored.variables))
