@@ -51,6 +51,10 @@ class BiRNN(nn.Module):
     Mirrors torch's nn.LSTM(bidirectional=True) semantics: each layer consumes
     the concatenated fwd/bwd outputs of the previous layer; inter-layer
     dropout only when n_layers > 1.
+
+    Built on the scan-lean Fast{GRU,LSTM} layers (models/fast_rnn.py): input
+    projections run as one batched MXU matmul per layer/direction instead of
+    T sequential per-step matmuls.
     """
 
     hidden: int
@@ -58,16 +62,17 @@ class BiRNN(nn.Module):
     cell: str = "lstm"          # "lstm" | "gru"
     dropout: float = 0.0
 
-    def _make_cell(self):
+    def _make_layer(self, reverse: bool):
+        from nanowakeword_tpu.models.fast_rnn import FastGRU, FastLSTM
         if self.cell == "gru":
-            return nn.GRUCell(features=self.hidden)
-        return nn.OptimizedLSTMCell(features=self.hidden)
+            return FastGRU(hidden=self.hidden, reverse=reverse)
+        return FastLSTM(hidden=self.hidden, reverse=reverse)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i in range(self.n_layers):
-            fwd = nn.RNN(self._make_cell())(x)
-            bwd = nn.RNN(self._make_cell(), reverse=True, keep_order=True)(x)
+            fwd = self._make_layer(reverse=False)(x)
+            bwd = self._make_layer(reverse=True)(x)
             x = jnp.concatenate([fwd, bwd], axis=-1)
             if i < self.n_layers - 1 and self.dropout > 0:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
