@@ -81,7 +81,7 @@ def bench_throughput(batch: int = 4096, iters: int = 32) -> float:
             # negligible) coupling: a literal *0 gets constant-folded and the
             # whole loop body hoisted as invariant.
             out = fwd(variables, enc_vars, audio + carry * jnp.float32(1e-30))
-            return out.sum()
+            return out.sum().astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     # NOTE: time a VALUE FETCH of the scalar result, not block_until_ready —
