@@ -332,6 +332,20 @@ class Trainer:
         profile_steps = int(config.get("profile_steps", 20))
         profiling_active = False
 
+        # Batch prefetch: ISBL sampling + gather (mmap reads or audio decode)
+        # run on a background thread, one batch ahead of the device. Sampling
+        # sees hardness at most one step stale — negligible for an EMA signal.
+        from nanowakeword_tpu.utils.prefetch import Prefetcher
+
+        def produce_batch():
+            batch_indices = np.asarray(sampler.sample_batch(), np.int64)
+            if batch_indices.size == 0:
+                raise ValueError("Sampler produced an empty batch — check "
+                                 "batch_composition vs feature_manifest.")
+            return dataset.gather(batch_indices)
+
+        prefetcher = Prefetcher(produce_batch, depth=2)
+
         # Async metric pipeline: don't block on step N's results until step
         # N+1 has been dispatched — hides the device->host sync behind compute.
         pending = None  # (step_ndx, indices, metrics)
@@ -402,11 +416,7 @@ class Trainer:
         stop = False
         step_ndx = start_step
         while step_ndx < max_steps and not stop:
-            batch_indices = np.asarray(sampler.sample_batch(), np.int64)
-            if batch_indices.size == 0:
-                raise ValueError("Sampler produced an empty batch — check "
-                                 "batch_composition vs feature_manifest.")
-            feats, labels, indices = dataset.gather(batch_indices)
+            feats, labels, indices = prefetcher.get()
             if step_ndx % 100 == 0:
                 labels_cache[step_ndx] = labels.copy()
 
@@ -509,6 +519,7 @@ class Trainer:
 
         if pending is not None:
             drain(pending)
+        prefetcher.close()
         if profiling_active:
             jax.profiler.stop_trace()
             print_info(f"Device trace written to {profile_dir}")

@@ -107,3 +107,35 @@ class TestChunker:
         out = ch.feed(big)
         assert out.shape == (40, 1280)
         assert ch.pending == 7
+
+
+class TestPrefetcher:
+    def test_iterates_producer(self):
+        from nanowakeword_tpu.utils.prefetch import Prefetcher
+        items = iter(range(5))
+        p = Prefetcher(items, depth=2)
+        assert list(p) == [0, 1, 2, 3, 4]
+
+    def test_callable_producer_and_close(self):
+        from nanowakeword_tpu.utils.prefetch import Prefetcher
+        state = {"n": 0}
+
+        def produce():
+            state["n"] += 1
+            return state["n"]
+
+        p = Prefetcher(produce, depth=1)
+        assert p.get() == 1
+        assert p.get() == 2
+        p.close()
+
+    def test_producer_error_propagates(self):
+        from nanowakeword_tpu.utils.prefetch import Prefetcher
+
+        def boom():
+            raise RuntimeError("producer died")
+
+        p = Prefetcher(boom, depth=1)
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="producer died"):
+            p.get()
