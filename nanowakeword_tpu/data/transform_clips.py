@@ -162,6 +162,10 @@ def process_generation_job(job_name: str, overwrite: bool, recipe, config,
                                    shape=(total_clips,) + tuple(emb_shape))
     row = 0
     pbar_total = -(total_clips // -batch_size)
+    # decode/augment batch k+1 on a background thread while the device
+    # extracts features for batch k
+    from nanowakeword_tpu.utils.prefetch import Prefetcher
+    audio_generator = Prefetcher(audio_generator, depth=2)
     for audio_batch in tqdm(audio_generator, total=pbar_total,
                             desc=f"Processing {job_name}"):
         if row >= total_clips:
