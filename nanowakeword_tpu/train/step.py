@@ -24,6 +24,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from nanowakeword_tpu.train import loss as losses
@@ -39,10 +40,58 @@ class TrainState(NamedTuple):
 
 
 class StepMetrics(NamedTuple):
-    loss: jnp.ndarray           # scalar total loss (incl. regularisation)
-    per_example_bce: jnp.ndarray  # [B] raw BCE — the ISBL hardness signal
-    logits: jnp.ndarray         # [B] detached logits for recall logging
-    grad_norm: jnp.ndarray      # scalar pre-clip global grad norm
+    """Step metrics, PACKED as one device vector so the host synchronises
+    with a single value fetch per step (each separate np.asarray costs a
+    full round trip on relayed backends):
+
+        packed = [loss, grad_norm, per_example_bce (B), logits (B)]
+    """
+
+    packed: jnp.ndarray
+
+    @property
+    def loss(self):
+        return self.packed[0]
+
+    @property
+    def grad_norm(self):
+        return self.packed[1]
+
+    @property
+    def per_example_bce(self):
+        b = (self.packed.shape[0] - 2) // 2
+        return self.packed[2:2 + b]
+
+    @property
+    def logits(self):
+        b = (self.packed.shape[0] - 2) // 2
+        return self.packed[2 + b:]
+
+    def fetch(self) -> "HostMetrics":
+        """One device->host transfer; returns numpy-backed views."""
+        return HostMetrics(np.asarray(self.packed))
+
+
+class HostMetrics(NamedTuple):
+    packed: "np.ndarray"
+
+    @property
+    def loss(self):
+        return float(self.packed[0])
+
+    @property
+    def grad_norm(self):
+        return float(self.packed[1])
+
+    @property
+    def per_example_bce(self):
+        b = (self.packed.shape[0] - 2) // 2
+        return self.packed[2:2 + b]
+
+    @property
+    def logits(self):
+        b = (self.packed.shape[0] - 2) // 2
+        return self.packed[2 + b:]
 
 
 def create_train_state(module, variables, tx: optax.GradientTransformation,
@@ -109,7 +158,11 @@ def make_train_step(module, tx: optax.GradientTransformation, *,
         new_state = TrainState(
             params=new_params, batch_stats=new_bs, opt_state=new_opt_state,
             step=state.step + 1, rng=state.rng)
-        return new_state, StepMetrics(total, raw, logits, grad_norm)
+        packed = jnp.concatenate([
+            total.reshape(1).astype(jnp.float32),
+            grad_norm.reshape(1).astype(jnp.float32),
+            raw.astype(jnp.float32), logits.astype(jnp.float32)])
+        return new_state, StepMetrics(packed)
 
     if not jit:
         return step_fn

@@ -353,10 +353,11 @@ class Trainer:
         def drain(p):
             nonlocal ema_loss, steps_without_improvement, best_ema_for_stopping
             step_ndx, indices, metrics = p
-            raw = np.asarray(metrics.per_example_bce)
-            dataset.update_hardness(indices, raw, alpha=hardness_alpha,
+            m = metrics.fetch()   # ONE device->host transfer for all metrics
+            dataset.update_hardness(indices, m.per_example_bce,
+                                    alpha=hardness_alpha,
                                     floor=hardness_floor)
-            current_loss = float(metrics.loss)
+            current_loss = m.loss
             self.history["loss"].append(current_loss)
             if ema_loss is None:
                 ema_loss = current_loss
@@ -382,7 +383,7 @@ class Trainer:
 
             # recall logging every 100 steps (train_model.py:628-664)
             if step_ndx % 100 == 0:
-                logits = np.asarray(metrics.logits)
+                logits = m.logits
                 labels01 = labels_cache[step_ndx]
                 yp = 1 / (1 + np.exp(-logits))
                 is_pos = labels01 == 1
@@ -400,7 +401,7 @@ class Trainer:
                         f"NA:{yp[is_neg].mean() if is_neg.any() else 0:.3f} "
                         f"|FA:{fa}/{int(is_neg.sum())} "
                         f"Ms:{fn}/{int(is_pos.sum())} |Recall:{recall:.3f} "
-                        f"gNorm:{float(metrics.grad_norm):.8f}")
+                        f"gNorm:{m.grad_norm:.8f}")
                 del labels_cache[step_ndx]
 
             # train-EMA early stopping bookkeeping
