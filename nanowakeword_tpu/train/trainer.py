@@ -342,7 +342,16 @@ class Trainer:
             if batch_indices.size == 0:
                 raise ValueError("Sampler produced an empty batch — check "
                                  "batch_composition vs feature_manifest.")
-            return dataset.gather(batch_indices)
+            feats, labels, indices = dataset.gather(batch_indices)
+            # start the host->device transfer HERE, on the prefetch thread:
+            # device_put is async, so the copy overlaps the current step
+            if self.mesh is not None:
+                from nanowakeword_tpu.parallel.dp import device_put_batch
+                f_dev, l_dev = device_put_batch(feats, labels, self.mesh)
+            else:
+                f_dev = jax.device_put(feats)
+                l_dev = jax.device_put(labels)
+            return f_dev, l_dev, labels, indices
 
         prefetcher = Prefetcher(produce_batch, depth=2)
 
@@ -417,7 +426,7 @@ class Trainer:
         stop = False
         step_ndx = start_step
         while step_ndx < max_steps and not stop:
-            feats, labels, indices = prefetcher.get()
+            f_dev, l_dev, labels, indices = prefetcher.get()
             if step_ndx % 100 == 0:
                 labels_cache[step_ndx] = labels.copy()
 
@@ -430,11 +439,6 @@ class Trainer:
                 profiling_active = False
                 print_info(f"Device trace written to {profile_dir}")
 
-            if self.mesh is not None:
-                from nanowakeword_tpu.parallel.dp import device_put_batch
-                f_dev, l_dev = device_put_batch(feats, labels, self.mesh)
-            else:
-                f_dev, l_dev = jnp.asarray(feats), jnp.asarray(labels)
             self.state, metrics = self._step(self.state, f_dev, l_dev)
 
             if pending is not None:
