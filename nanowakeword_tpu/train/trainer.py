@@ -226,6 +226,106 @@ class Trainer:
             sampler.rng.bit_generator.state = ckpt["sampler_rng_state"]
         return ckpt
 
+    # -- device-cached training (train/cached.py) --------------------------------
+
+    def train_device_cached(self, X, X_val, max_steps, log_path):
+        """Fully device-resident ISBL training in K-step compiled dispatches.
+
+        Zero per-step host traffic: sampling, gather, step, and hardness
+        updates all run on device; the host sees one [K, 6] metrics array
+        per dispatch. Bookkeeping (EMA stopping, SWA pool, validation,
+        durable checkpoints) happens at dispatch granularity.
+        """
+        from nanowakeword_tpu.train.cached import (build_cached_data,
+                                                   make_cached_train_loop)
+        dataset, sampler = X
+        config = self.config
+        dc = config.get("device_cache", {})
+        k_steps = int(dc.get("steps_per_dispatch", 100))
+
+        cached = build_cached_data(dataset, sampler.batch_composition,
+                                   sampler.feature_manifests)
+        loop = make_cached_train_loop(
+            self.model.module, self.tx,
+            quotas=cached.quotas, replace=cached.replace, k_steps=k_steps,
+            loss_function=str(config.get("loss_function", "bias_weighted")),
+            loss_bias=float(config.get("LOSS_BIAS", 0.75)),
+            logit_reg_weight=float(config.get("logit_reg_weight", 2e-4)),
+            logit_reg_margin=float(config.get("logit_reg_margin", 6.0)),
+            hardness_alpha=float(config.get("hardness_ema_alpha", 0.05)),
+            hardness_floor=float(config.get("hardness_floor", 0.05)))
+
+        ema_loss = None
+        ema_alpha = float(config.get("ema_alpha", 0.01))
+        top_k = int(config.get("checkpoint_averaging_top_k", 5))
+        pool_interval = int(config.get("checkpoint_pool_interval", 500))
+        stabilization = int(config.get("stabilization_steps",
+                                       int(max_steps * 0.05)))
+        val_interval = int(config.get("val_interval", 500))
+        hardness = cached.hardness
+        key = jax.random.PRNGKey(int(config.get("seed", 10)) + 1)
+
+        step_ndx = 0
+        next_pool = ((stabilization // pool_interval) + 1) * pool_interval
+        next_val = ((max(stabilization, int(config.get(
+            "val_stabilization_steps", stabilization))) // val_interval) + 1
+        ) * val_interval
+        while step_ndx < max_steps:
+            self.state, hardness, key, metrics = loop(
+                self.state, hardness, key, cached.features, cached.labels,
+                cached.pools)
+            m = np.asarray(metrics)  # one fetch per K steps
+            losses_k = m[:, 0]
+            self.history["loss"].extend(losses_k.tolist())
+            for lv in losses_k:
+                ema_loss = lv if ema_loss is None else (
+                    ema_alpha * lv + (1 - ema_alpha) * ema_loss)
+            # recall at ~100-step granularity from in-step counters
+            for off in range(0, k_steps, 100):
+                tp, fn = m[off, 2], m[off, 3]
+                if tp + fn > 0:
+                    self.history["train_recall_steps"].append(step_ndx + off)
+                    self.history["train_recall"].append(
+                        float(tp / (tp + fn)))
+            step_ndx += k_steps
+
+            if step_ndx >= next_pool and step_ndx > stabilization:
+                next_pool += pool_interval
+                host_params = self._host_params()
+                score = float(ema_loss)
+                if len(self.best_training_checkpoints) < top_k:
+                    self.best_training_checkpoints.append(host_params)
+                    self.best_training_scores.append(
+                        {"step": step_ndx, "stable_loss": score})
+                else:
+                    worst = max(s["stable_loss"]
+                                for s in self.best_training_scores)
+                    if score < worst:
+                        wi = [i for i, s in
+                              enumerate(self.best_training_scores)
+                              if s["stable_loss"] == worst][0]
+                        self.best_training_checkpoints[wi] = host_params
+                        self.best_training_scores[wi] = {
+                            "step": step_ndx, "stable_loss": score}
+
+            if (X_val is not None and len(X_val) > 0
+                    and step_ndx >= next_val):
+                next_val += val_interval
+                vm = self.validate(X_val)
+                self.history["val_loss_steps"].append(step_ndx)
+                self.history["val_loss"].append(vm["val_loss"])
+                self.history["val_recall_steps"].append(step_ndx)
+                self.history["val_recall"].append(vm["val_recall"])
+                self.history["val_fpr"].append(vm["val_fpr"])
+                if vm["error_score"] < self.best_error_score:
+                    self.best_error_score = vm["error_score"]
+                    self.best_model_on_error_score = self._host_params()
+
+        dataset.sample_hardness[:] = np.asarray(hardness)
+        print_info(f"Device-cached training finished at step {step_ndx} "
+                   f"({k_steps} steps/dispatch).")
+        return step_ndx
+
     # -- the training loop (train_model.py:346-759) ---------------------------------
 
     def train_model(self, X, X_val, max_steps, log_path, table_updater=None,
@@ -233,6 +333,11 @@ class Trainer:
         """X: (dataset, sampler) pair; X_val: ValidationDataset or None."""
         dataset, sampler = X
         config = self.config
+
+        dc_cfg = config.get("device_cache", {})
+        if dc_cfg and dc_cfg.get("enabled", False) and self.mesh is None \
+                and resume_from_dir is None:
+            return self.train_device_cached(X, X_val, max_steps, log_path)
 
         debug_mode = bool(config.get("debug_mode", False))
         log_dir = os.path.join(log_path, "training_debug")

@@ -130,3 +130,42 @@ class TestOrbaxBackend:
                                            np.asarray(feats),
                                            np.asarray(labels))
         assert np.isfinite(float(m.loss))
+
+
+class TestDeviceCachedTraining:
+    def test_cached_loop_trains_and_updates_hardness(self, data, tmp_path):
+        cfg = dict(CFG)
+        cfg["device_cache"] = {"enabled": True, "steps_per_dispatch": 20}
+        cfg["checkpoint_pool_interval"] = 20
+        dataset, sampler, _ = data
+        before_h = dataset.sample_hardness.copy()
+        trainer = Trainer(_model(), cfg)
+        steps = trainer.train_model(X=(dataset, sampler), X_val=None,
+                                    max_steps=60, log_path=str(tmp_path))
+        assert steps == 60
+        losses = trainer.history["loss"]
+        assert len(losses) == 60
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+        # on-device hardness updates synced back
+        assert not np.allclose(before_h, dataset.sample_hardness)
+        # SWA pool collected at dispatch granularity
+        assert len(trainer.best_training_checkpoints) > 0
+
+    def test_matches_host_loop_quality(self, data, tmp_path):
+        """Device-cached and host-loop training reach comparable loss."""
+        dataset, sampler, _ = data
+        t_host = Trainer(_model(), dict(CFG))
+        t_host.train_model(X=(dataset, sampler), X_val=None, max_steps=40,
+                           log_path=str(tmp_path / "h"))
+
+        cfg = dict(CFG)
+        cfg["device_cache"] = {"enabled": True, "steps_per_dispatch": 20}
+        dataset.sample_hardness[:] = 1.0
+        t_dev = Trainer(_model(), cfg)
+        t_dev.train_model(X=(dataset, sampler), X_val=None, max_steps=40,
+                          log_path=str(tmp_path / "d"))
+
+        host_final = np.mean(t_host.history["loss"][-10:])
+        dev_final = np.mean(t_dev.history["loss"][-10:])
+        assert dev_final < np.mean(t_dev.history["loss"][:5])
+        assert abs(host_final - dev_final) < 0.5
