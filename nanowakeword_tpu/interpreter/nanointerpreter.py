@@ -120,6 +120,13 @@ class _LocalSession:
         probs = self._fn(self.model.variables, feats)
         return float(np.asarray(probs).reshape(-1)[0]), None
 
+    def run_batch(self, feats: np.ndarray) -> np.ndarray:
+        """[B, T, F] -> [B] probabilities (stateless models; the server's
+        dynamic micro-batching path)."""
+        probs = self._fn(self.model.variables,
+                         jnp.asarray(feats, jnp.float32))
+        return np.asarray(probs).reshape(-1)
+
 
 class NanoInterpreter:
     """Main inference engine. Use `NanoInterpreter.load_model()`."""

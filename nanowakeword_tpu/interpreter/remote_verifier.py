@@ -69,6 +69,76 @@ def decode_score(response: Union[str, bytes]) -> float:
     return float(json.loads(response).get("score", 0.0))
 
 
+# -- dynamic micro-batching -----------------------------------------------------
+
+class _DynamicBatcher:
+    """Cross-client micro-batching onto the accelerator.
+
+    New capability vs. the reference (which scores each client's message in
+    its own ONNX call): concurrent score requests arriving within
+    `max_wait_ms` coalesce into ONE batched device forward — under load the
+    TPU sees large batches instead of B=1 calls. A classic production
+    inference-server pattern (dynamic batching).
+    """
+
+    def __init__(self, session, max_batch: int = 256,
+                 max_wait_ms: float = 4.0, pad_to_pow2: bool = True):
+        import asyncio
+        self.session = session
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.pad_to_pow2 = pad_to_pow2
+        self._queue: "asyncio.Queue" = asyncio.Queue()
+        self._task = None
+
+    def start(self):
+        import asyncio
+        if self._task is None:
+            self._task = asyncio.get_event_loop().create_task(self._run())
+
+    async def score(self, features: np.ndarray) -> float:
+        import asyncio
+        fut = asyncio.get_event_loop().create_future()
+        await self._queue.put((features, fut))
+        return await fut
+
+    async def _run(self):
+        import asyncio
+        loop = asyncio.get_event_loop()
+        while True:
+            first = await self._queue.get()
+            batch = [first]
+            deadline = loop.time() + self.max_wait
+            while len(batch) < self.max_batch:
+                timeout = deadline - loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self._queue.get(),
+                                                        timeout))
+                except asyncio.TimeoutError:
+                    break
+            feats = np.concatenate([b[0] for b in batch], axis=0)
+            n = feats.shape[0]
+            if self.pad_to_pow2 and n > 1:
+                # bucket batch sizes to powers of two: bounded recompiles
+                padded = 1 << (n - 1).bit_length()
+                if padded != n:
+                    feats = np.concatenate(
+                        [feats, np.zeros((padded - n,) + feats.shape[1:],
+                                         feats.dtype)], axis=0)
+            try:
+                probs = await loop.run_in_executor(
+                    None, self.session.run_batch, feats)
+                for (_, fut), p in zip(batch, probs[:n]):
+                    if not fut.done():
+                        fut.set_result(float(p))
+            except Exception as e:  # noqa: BLE001
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
 # -- server ------------------------------------------------------------------------
 
 def serve(model_path: str,
@@ -77,6 +147,9 @@ def serve(model_path: str,
           port: int = 8765,
           log_level: str = "INFO",
           security: Optional[Union[SecurityConfig, SecurityManager]] = None,
+          batching: bool = True,
+          max_batch: int = 256,
+          batch_wait_ms: float = 4.0,
           _ready_callback=None) -> None:
     """Start the RemoteVerifier WebSocket server; blocks until interrupted."""
     if pipeline not in _VALID_PIPELINES:
@@ -110,6 +183,9 @@ def serve(model_path: str,
     header, model, encoder_vars = load_nww(model_path)
     ww_session = _LocalSession(model, header)
     n_frames = ww_session.feature_length
+    batcher = (_DynamicBatcher(ww_session, max_batch=max_batch,
+                               max_wait_ms=batch_wait_ms)
+               if batching and not ww_session.stateful else None)
     model_name = header.get("model_name", "model")
     logger.info(f"Wake word model: '{model_name}'  "
                 f"input=[batch, {n_frames}, 96]")
@@ -187,7 +263,10 @@ def serve(model_path: str,
                     feats = np.frombuffer(
                         message[13:13 + b * t * f * 4],
                         dtype=np.float32).reshape(b, t, f)
-                    score, _ = ww_session.run(feats)
+                    if batcher is not None and b == 1:
+                        score = await batcher.score(feats)
+                    else:
+                        score, _ = ww_session.run(feats)
 
                 elif tag == _TAG_MEL and pipeline in (PIPELINE_EMBEDDING,
                                                       PIPELINE_FULL):
@@ -199,7 +278,11 @@ def serve(model_path: str,
                     emb = np.asarray(frontend.encoder.apply(
                         frontend.encoder_variables, jnp.asarray(mel)))
                     if emb.shape[1] >= n_frames:
-                        score, _ = ww_session.run(emb[:, -n_frames:])
+                        window = emb[:, -n_frames:]
+                        if batcher is not None and window.shape[0] == 1:
+                            score = await batcher.score(window)
+                        else:
+                            score, _ = ww_session.run(window)
 
                 elif tag == _TAG_AUDIO and pipeline == PIPELINE_FULL:
                     (n_samples,) = struct.unpack("<i", message[1:5])
@@ -207,7 +290,10 @@ def serve(model_path: str,
                                           dtype=np.int16)
                     feats = state.process(audio)
                     if feats is not None:
-                        score, _ = ww_session.run(feats)
+                        if batcher is not None:
+                            score = await batcher.score(feats)
+                        else:
+                            score, _ = ww_session.run(feats)
 
                 await websocket.send(json.dumps({"score": score}))
 
@@ -221,6 +307,10 @@ def serve(model_path: str,
     import asyncio
 
     async def _main():
+        if batcher is not None:
+            batcher.start()
+            logger.info(f"Dynamic batching: max_batch={max_batch}, "
+                        f"window={batch_wait_ms}ms")
         async with websockets.serve(
                 handle_client, host, port,
                 ssl=security_manager.ssl_context if security_manager
@@ -420,6 +510,10 @@ def main(argv=None):
     parser.add_argument("--ssl-ca-certs", default=None)
     parser.add_argument("--max-connections", type=int, default=0)
     parser.add_argument("--ban-duration", type=int, default=300)
+    parser.add_argument("--no-batching", action="store_true",
+                        help="Disable cross-client dynamic micro-batching.")
+    parser.add_argument("--max-batch", type=int, default=256)
+    parser.add_argument("--batch-wait-ms", type=float, default=4.0)
     args = parser.parse_args(argv)
 
     security = build_security(
@@ -431,7 +525,9 @@ def main(argv=None):
         max_connections=args.max_connections, ban_duration=args.ban_duration)
 
     serve(model_path=args.model, pipeline=args.pipeline, host=args.host,
-          port=args.port, log_level=args.log, security=security)
+          port=args.port, log_level=args.log, security=security,
+          batching=not args.no_batching, max_batch=args.max_batch,
+          batch_wait_ms=args.batch_wait_ms)
 
 
 if __name__ == "__main__":

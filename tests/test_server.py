@@ -151,3 +151,36 @@ class TestRemoteSession:
         assert 0.0 <= score <= 1.0 and carry is None
         assert session.feature_length == 16
         session.close()
+
+
+class TestDynamicBatching:
+    def test_concurrent_clients_all_scored(self, artifact):
+        """Many concurrent clients: the batcher coalesces requests and every
+        client gets its own correct score back."""
+        port = _start_server(artifact, "verifier_only")
+        rng = np.random.default_rng(5)
+        feats = [rng.normal(size=(1, 16, 96)).astype(np.float32)
+                 for _ in range(12)]
+
+        async def one(f):
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                scores = []
+                for _ in range(4):
+                    await ws.send(encode_features(f))
+                    resp = json.loads(await asyncio.wait_for(ws.recv(),
+                                                             timeout=30))
+                    scores.append(resp["score"])
+                return scores
+
+        async def many():
+            return await asyncio.gather(*[one(f) for f in feats])
+
+        results = asyncio.run(many())
+        assert len(results) == 12
+        for scores in results:
+            # same features -> identical score on every round trip
+            assert len(set(round(s, 6) for s in scores)) == 1
+            assert 0.0 <= scores[0] <= 1.0
+        # distinct features -> (almost surely) distinct scores
+        firsts = [round(r[0], 8) for r in results]
+        assert len(set(firsts)) > 6
