@@ -135,6 +135,13 @@ def _build_parser() -> argparse.ArgumentParser:
                               metavar="COUNT")
     server_group.add_argument("--ban-duration", type=int, default=300,
                               metavar="SECONDS")
+    server_group.add_argument("--no-batching", action="store_true",
+                              help="Disable cross-client dynamic "
+                                   "micro-batching.")
+    server_group.add_argument("--max-batch", type=int, default=256,
+                              metavar="N")
+    server_group.add_argument("--batch-wait-ms", type=float, default=4.0,
+                              metavar="MS")
 
     parser.add_argument("--info", metavar="MODEL", default=None,
                         help="Show metadata for a .nww model file and exit.")
@@ -186,7 +193,9 @@ def _run_server(args):
         max_connections=args.max_connections,
         ban_duration=args.ban_duration)
     serve(model_path=args.model, pipeline=args.pipeline, host=args.host,
-          port=args.port, log_level=args.log, security=security)
+          port=args.port, log_level=args.log, security=security,
+          batching=not args.no_batching, max_batch=args.max_batch,
+          batch_wait_ms=args.batch_wait_ms)
 
 
 def _run_info(model_path: str):
