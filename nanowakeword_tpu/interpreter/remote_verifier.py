@@ -467,10 +467,12 @@ class _RemoteSession:
 
     def close(self):
         if self._ws is not None:
+            coro = self._ws.close()
             try:
-                self._loop.run_until_complete(self._ws.close())
+                self._loop.run_until_complete(coro)
             except Exception:  # noqa: BLE001
-                pass
+                coro.close()
+            self._ws = None
         try:
             self._loop.close()
         except Exception:  # noqa: BLE001
