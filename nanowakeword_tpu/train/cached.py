@@ -85,6 +85,24 @@ def build_cached_data(dataset, batch_composition: Dict[str, int],
         pools=tuple(pools), quotas=tuple(quotas), replace=tuple(replace))
 
 
+def put_cached_on_mesh(data: CachedData, mesh) -> CachedData:
+    """Replicate the device cache across every chip of a mesh.
+
+    The cache is replicated (it must fit per-chip HBM — same budget as the
+    single-chip mode); only the sampled BATCH is sharded, inside the loop.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        return jax.device_put(x, repl)
+
+    return CachedData(features=put(data.features), labels=put(data.labels),
+                      hardness=put(data.hardness),
+                      pools=tuple(put(p) for p in data.pools),
+                      quotas=data.quotas, replace=data.replace)
+
+
 def _sample_rule(key, pool, hardness, quota: int, with_replacement: bool):
     """ISBL selection for one composition rule, on device."""
     w = hardness[pool] ** HARDNESS_SMOOTHING + WEIGHT_FLOOR
@@ -106,10 +124,23 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
                            logit_reg_weight: float = 2e-4,
                            logit_reg_margin: float = 6.0,
                            hardness_alpha: float = 0.05,
-                           hardness_floor: float = 0.05):
+                           hardness_floor: float = 0.05,
+                           mesh=None):
     """Build (state, hardness, key, features, labels, pools) ->
-    (state, hardness, key, metrics [K, 6])."""
+    (state, hardness, key, metrics [K, 6]).
+
+    With ``mesh``, each step's sampled batch is sharded over the ``data``
+    axis — sampling and the hardness scatter stay replicated (they are O(N)
+    elementwise, not worth a collective), while the forward/backward FLOPs
+    split across chips and XLA psums the gradients over ICI. Use
+    `put_cached_on_mesh` + `parallel.dp.shard_train_state` on the inputs.
+    """
     loss_fn_name = loss_function.lower()
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from nanowakeword_tpu.parallel.mesh import DATA_AXIS
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     def one_step(carry, _):
         state, hardness, key, features, labels, pools = carry
@@ -119,6 +150,11 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
             for rk, pool, q, r in zip(rule_keys, pools, quotas, replace)])
         batch_x = jnp.take(features, idx, axis=0)
         batch_y = jnp.take(labels, idx, axis=0)
+        if batch_sharding is not None:
+            batch_x = jax.lax.with_sharding_constraint(batch_x,
+                                                       batch_sharding)
+            batch_y = jax.lax.with_sharding_constraint(batch_y,
+                                                       batch_sharding)
 
         def loss_and_aux(params, batch_stats, rng):
             variables = {"params": params}

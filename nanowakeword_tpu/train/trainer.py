@@ -237,7 +237,8 @@ class Trainer:
         durable checkpoints) happens at dispatch granularity.
         """
         from nanowakeword_tpu.train.cached import (build_cached_data,
-                                                   make_cached_train_loop)
+                                                   make_cached_train_loop,
+                                                   put_cached_on_mesh)
         dataset, sampler = X
         config = self.config
         dc = config.get("device_cache", {})
@@ -245,8 +246,19 @@ class Trainer:
 
         cached = build_cached_data(dataset, sampler.batch_composition,
                                    sampler.feature_manifests)
+        mesh = None
+        if bool(dc.get("data_parallel", False)) and len(jax.devices()) > 1:
+            from nanowakeword_tpu.parallel import dp as DP
+            from nanowakeword_tpu.parallel import mesh as M
+            mesh = M.make_mesh(
+                model_parallel=int(dc.get("model_parallel", 1)))
+            print_info(f"Device-cache training data-parallel over "
+                       f"{mesh.devices.size} chips "
+                       f"(mesh {dict(mesh.shape)}).")
+            self.state = DP.shard_train_state(self.state, mesh)
+            cached = put_cached_on_mesh(cached, mesh)
         loop = make_cached_train_loop(
-            self.model.module, self.tx,
+            self.model.module, self.tx, mesh=mesh,
             quotas=cached.quotas, replace=cached.replace, k_steps=k_steps,
             loss_function=str(config.get("loss_function", "bias_weighted")),
             loss_bias=float(config.get("LOSS_BIAS", 0.75)),

@@ -101,6 +101,60 @@ def test_data_parallel_matches_single_device(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_cached_loop_data_parallel_matches_single_device(rng):
+    """Device-cached ISBL training over the 8-chip mesh: same RNG stream
+    -> same sampled indices -> same losses/params as the 1-device loop."""
+    from nanowakeword_tpu.train.cached import (CachedData,
+                                               make_cached_train_loop,
+                                               put_cached_on_mesh)
+    from nanowakeword_tpu.train.step import create_train_state
+
+    model = Model(config=dict(CFG), model_name="t", input_shape=INPUT_SHAPE,
+                  model_type="dnn", layer_dim=16, n_blocks=1,
+                  dropout_prob=0.0)
+    tx = build_optimizer(CFG, total_steps=12)
+
+    n = 256
+    feats, labels = _toy_batch(rng, n=n)
+    pos = jnp.asarray(np.flatnonzero(np.asarray(labels) == 1), jnp.int32)
+    neg = jnp.asarray(np.flatnonzero(np.asarray(labels) == 0), jnp.int32)
+    cached = CachedData(features=feats, labels=labels,
+                        hardness=jnp.full((n,), 0.05, jnp.float32),
+                        pools=(pos, neg), quotas=(16, 48),
+                        replace=(False, False))
+    key = jax.random.PRNGKey(7)
+
+    def run(mesh):
+        data = put_cached_on_mesh(cached, mesh) if mesh is not None \
+            else cached
+        fresh = jax.tree_util.tree_map(jnp.array, model.variables)
+        state = create_train_state(model.module, fresh, tx)
+        if mesh is not None:
+            state = dp.shard_train_state(state, mesh)
+        loop = make_cached_train_loop(
+            model.module, tx, quotas=data.quotas, replace=data.replace,
+            k_steps=6, mesh=mesh)
+        # the loop donates (state, hardness); hand it a private copy
+        state, hardness, _, metrics = loop(
+            state, jnp.array(data.hardness), key, data.features,
+            data.labels, data.pools)
+        return state, np.asarray(hardness), np.asarray(metrics)
+
+    s1, h1, m1 = run(None)
+    s8, h8, m8 = run(M.make_mesh(8))
+
+    # identical sampling (same key) -> losses match to reduction-order noise
+    np.testing.assert_allclose(m1[:, 0], m8[:, 0], rtol=1e-4)
+    np.testing.assert_allclose(h1, h8, rtol=1e-4, atol=1e-6)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                               rtol=1e-3, atol=1e-6)
+    # the batch really was sharded over the data axis: counters are global
+    assert m8[:, 2].max() + m8[:, 3].max() <= 16 + 48
+    assert (m8[:, 5] == 16).all()  # n_pos == positive quota every step
+
+
 def test_tensor_parallel_shards_wide_kernels():
     mesh = M.make_mesh(8, model_parallel=2)
     params = {"dense": {"kernel": jnp.zeros((128, 512)),
