@@ -11,9 +11,12 @@ We re-design it TPU-first instead of wrapping a black box:
   is an integer multiple of the hop, so the overlapping frame matrix is built
   from three shifted views of a ``[T+2, 160]`` reshape. No gathers, no
   dynamic shapes, fully fusible by XLA and trivially expressible in Pallas.
-* **DFT as matmul** — a real DFT is two ``[480, 257]`` matrix multiplies that
-  ride the MXU in bfloat16 with float32 accumulation. At 10M frames/sec this
-  is ~2.5% of a v5e chip's peak FLOPs, far cheaper than an HBM-bound FFT.
+* **DFT as matmul** — a real DFT is two ``[480, n_bins]`` matrix multiplies
+  that ride the MXU in bfloat16 with float32 accumulation, far cheaper than
+  an HBM-bound FFT. Only the spectral bins the mel filterbank actually reads
+  are computed: with fmax=3800 Hz that is bins 0..121 of 257, padded to one
+  128-wide lane tile — a 3x cut in DFT FLOPs with an identical mel result
+  (every dropped bin has zero filter weight).
 * **Exact streaming == batch** — the frontend left-pads every clip with
   ``WINDOW - HOP = 320`` zero samples. Then every 1280-sample (80 ms) chunk
   contributes exactly 8 new frames, and a streaming implementation that
@@ -67,8 +70,9 @@ def _hann(n: int) -> np.ndarray:
 def _dft_mel_matrices(dtype_name: str = "bfloat16"):
     """Precompute (cos, sin, mel_fb) as numpy constants.
 
-    cos/sin: [WINDOW, N_FFT//2+1] real-DFT basis with the Hann window folded in.
-    mel_fb:  [N_FFT//2+1, N_MELS] slaney-style triangular filterbank (HTK mel).
+    cos/sin: [WINDOW, n_keep] real-DFT basis with the Hann window folded in,
+             pruned to the (lane-tile-aligned) bins the filterbank reads.
+    mel_fb:  [n_keep, N_MELS] triangular filterbank (HTK mel).
     """
     n_bins = N_FFT // 2 + 1
     t = np.arange(WINDOW)[:, None]          # [480, 1]
@@ -98,6 +102,15 @@ def _dft_mel_matrices(dtype_name: str = "bfloat16"):
         up = (bin_freqs - lo) / max(mid - lo, 1e-9)
         down = (hi - bin_freqs) / max(hi - mid, 1e-9)
         fb[:, m] = np.clip(np.minimum(up, down), 0.0, None)
+
+    # Bin pruning: with FMAX=3800 Hz the filterbank's last nonzero row is
+    # bin ~122 of 257 — compute ONLY the spectral bins the filterbank reads,
+    # rounded up to a full 128-wide MXU lane tile. The mel output is the
+    # same sum (every dropped row has zero filter weight); the DFT matmuls
+    # shrink from three lane tiles (384 padded cols) to one.
+    n_used = int(np.flatnonzero(fb.any(axis=1)).max()) + 1
+    n_keep = min(n_bins, -(-n_used // 128) * 128)
+    cos_m, sin_m, fb = cos_m[:, :n_keep], sin_m[:, :n_keep], fb[:n_keep]
 
     dt = np.dtype(np.float32) if dtype_name == "float32" else jnp.bfloat16
     return (
@@ -171,7 +184,7 @@ def mel_frontend_slab(x: jnp.ndarray, *,
 
     cos_m, sin_m, fb = _dft_mel_matrices(
         "float32" if compute_dtype == jnp.float32 else "bfloat16")
-    n_bins = N_FFT // 2 + 1
+    n_bins = np.asarray(cos_m).shape[-1]
     cos3 = np.asarray(cos_m).reshape(3, HOP, n_bins)
     sin3 = np.asarray(sin_m).reshape(3, HOP, n_bins)
 

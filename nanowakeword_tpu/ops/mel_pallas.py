@@ -41,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nanowakeword_tpu.ops import mel as melops
 
-N_BINS = melops.N_FFT // 2 + 1   # 257
 
 
 def _kernel(r0_ref, r1_ref, r2_ref, cos_ref, sin_ref, fb_ref, out_ref):
@@ -102,8 +101,9 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False):
     r2 = rows[:, 2:t_pad + 2]      # hop-block 2
 
     cos_m, sin_m, fb = melops._dft_mel_matrices("bfloat16")
-    cos3 = np.asarray(cos_m).reshape(3, melops.HOP, N_BINS)
-    sin3 = np.asarray(sin_m).reshape(3, melops.HOP, N_BINS)
+    n_bins = np.asarray(cos_m).shape[-1]   # filterbank-pruned, 128-aligned
+    cos3 = np.asarray(cos_m).reshape(3, melops.HOP, n_bins)
+    sin3 = np.asarray(sin_m).reshape(3, melops.HOP, n_bins)
 
     view_spec = pl.BlockSpec((1, ft, melops.HOP), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
@@ -113,11 +113,11 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False):
         grid=grid,
         in_specs=[
             view_spec, view_spec, view_spec,
-            pl.BlockSpec((3, melops.HOP, N_BINS), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((3, melops.HOP, n_bins), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, melops.HOP, N_BINS), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((3, melops.HOP, n_bins), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_BINS, melops.N_MELS), lambda i, j: (0, 0),
+            pl.BlockSpec((n_bins, melops.N_MELS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ft, melops.N_MELS),

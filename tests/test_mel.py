@@ -83,10 +83,43 @@ class TestNumerics:
         peak_bin = int(np.argmax(mid.mean(axis=0)))
         # bin centres: mel-spaced 60..3800 over 32 bins; 1 kHz lands mid-scale
         cos_m, sin_m, fb = M._dft_mel_matrices("float32")
-        bin_freqs = np.arange(M.N_FFT // 2 + 1) * M.SAMPLE_RATE / M.N_FFT
+        # fb is pruned to the lane-aligned bins the filterbank reads
+        bin_freqs = np.arange(np.asarray(fb).shape[0]) \
+            * M.SAMPLE_RATE / M.N_FFT
         centre = float((np.asarray(fb)[:, peak_bin] * bin_freqs).sum()
                        / np.asarray(fb)[:, peak_bin].sum())
         assert abs(centre - 1000.0) < 150.0
+
+    def test_bin_pruning_matches_full_spectrum(self, rng):
+        """The lane-aligned bin pruning is lossless: a float64 numpy
+        reference over ALL 257 rfft bins gives the same log-mel."""
+        x = rng.integers(-20000, 20000, 16000).astype(np.float64)
+        out = np.asarray(M.mel_frontend(x.astype(np.float32),
+                                        compute_dtype=jnp.float32))
+
+        # independent full-spectrum reference
+        n_bins = M.N_FFT // 2 + 1
+        padded = np.concatenate([np.zeros(M.LEFT_PAD), x])
+        t = len(x) // M.HOP
+        frames = np.stack([padded[i * M.HOP:i * M.HOP + M.WINDOW]
+                           for i in range(t)])
+        win = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(M.WINDOW)
+                                  / M.WINDOW)) / 32768.0
+        spec = np.fft.rfft(frames * win, n=M.N_FFT)[:, :n_bins]
+        # full 257-row filterbank, rebuilt without pruning
+        def h2m(f):
+            return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+        def m2h(m):
+            return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+        pts = m2h(np.linspace(h2m(M.FMIN), h2m(M.FMAX), M.N_MELS + 2))
+        freqs = np.arange(n_bins) * M.SAMPLE_RATE / M.N_FFT
+        fb = np.zeros((n_bins, M.N_MELS))
+        for m in range(M.N_MELS):
+            lo, mid, hi = pts[m], pts[m + 1], pts[m + 2]
+            fb[:, m] = np.clip(np.minimum((freqs - lo) / (mid - lo),
+                                          (hi - freqs) / (hi - mid)), 0, None)
+        ref = np.log10(np.abs(spec) ** 2 @ fb + M.MEL_EPS) + M.LOG_OFFSET
+        np.testing.assert_allclose(out, ref, atol=2e-4)
 
     def test_silence_hits_floor(self):
         x = np.zeros(16000, np.float32)
