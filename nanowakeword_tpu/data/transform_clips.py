@@ -222,8 +222,8 @@ def transform_clips(config, args, feature_save_dir: str):
     is_overwrite = bool(config.get("overwrite", False)
                         or getattr(args, "overwrite", False))
 
-    # Bulk extraction tolerates bf16 MXU conv noise; trade exactness for
-    # throughput here (streaming inference keeps HIGHEST precision).
+    # Bulk extraction uses the encoder default (HIGH: 3-pass bf16, ~f32
+    # mantissa coverage at 1/6 the MXU cost of f32 emulation).
     feature_extractor = AudioFeatures()
 
     print_step_header("Computing Acoustic Features from Audio Sources")

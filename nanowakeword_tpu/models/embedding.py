@@ -50,18 +50,22 @@ class SpeechEmbeddingEncoder(nn.Module):
     Input:  [B, T, 32]  transformed log-mel (T >= 76)
     Output: [B, (T-76)//8 + 1, 96]
 
-    `precision` defaults to HIGHEST: XLA's default TPU conv precision rounds
-    f32 operands to bfloat16 on the MXU, and the rounding error differs
-    between input shapes — which would break the streaming == batch guarantee
-    at the ~5e-3 level (measured). HIGHEST keeps both paths within f32
-    accumulation noise of each other. Throughput-critical bulk extraction can
-    opt into `precision=None` (bf16 MXU passes) where 0.5% feature noise is
-    irrelevant, e.g. training-set feature generation.
+    `precision` defaults to HIGH (three-pass bfloat16): XLA's DEFAULT TPU
+    conv precision rounds f32 operands to a single bfloat16 MXU pass whose
+    algorithm choice is shape-dependent, which can break the streaming ==
+    batch guarantee (measured at the ~5e-3 level for some geometries). HIGH
+    recovers ~f32 mantissa coverage — measured worst cross-shape error
+    2.5e-5 between the [B,76,32] streaming window and [B,970,32] full-buffer
+    shapes, 40x inside the 1e-3 score-trace budget — at ~1/6 the MXU cost of
+    HIGHEST (f32 emulation), which this encoder previously defaulted to.
+    Throughput-critical bulk extraction can opt into `precision=None` (one
+    bf16 pass) where 0.5% feature noise is irrelevant; bit-for-bit
+    cross-shape reproducibility needs `precision=jax.lax.Precision.HIGHEST`.
     """
 
     features: tuple = (32, 48, 64, EMBEDDING_DIM)
     dtype: jnp.dtype = jnp.float32
-    precision: object = jax.lax.Precision.HIGHEST
+    precision: object = jax.lax.Precision.HIGH
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
