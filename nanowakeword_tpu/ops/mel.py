@@ -164,8 +164,8 @@ def mel_frontend_slab(x: jnp.ndarray, *,
     the DFT basis. Output is numerically equivalent (bit-exact measured) to
     `mel_frontend`.
 
-    Measured on v5e this is SLOWER than `mel_frontend` (438k vs 745k 1-s
-    clips/s): XLA fuses the frame concat into the matmul operand read, so
+    Measured on v5e this is SLOWER than `mel_frontend` (643k vs 864k 1-s
+    clips/s with the pruned basis; 438k vs 745k unpruned): XLA fuses the frame concat into the matmul operand read, so
     the frame matrix is never actually written to HBM, and one K=480 matmul
     utilises the MXU better than three K=160 ones. Kept as the portable
     fallback shape for kernels that cannot express the overlap (see
