@@ -47,7 +47,9 @@ class FastGRU(nn.Module):
             h_new = (1.0 - z) * n + z * h
             return h_new, h_new
 
-        h0 = jnp.zeros((B, H), x.dtype)
+        # carry must match the step's compute dtype: bf16 inputs against f32
+        # params promote the gates to f32, so the carry starts f32 too
+        h0 = jnp.zeros((B, H), jnp.result_type(xg.dtype, w_h.dtype))
         _, out = jax.lax.scan(step, h0, jnp.swapaxes(xg, 0, 1))
         out = jnp.swapaxes(out, 0, 1)
         if self.reverse:
@@ -86,7 +88,8 @@ class FastLSTM(nn.Module):
             h_new = o * jnp.tanh(c_new)
             return (h_new, c_new), h_new
 
-        init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+        cdt = jnp.result_type(xg.dtype, w_h.dtype)
+        init = (jnp.zeros((B, H), cdt), jnp.zeros((B, H), cdt))
         _, out = jax.lax.scan(step, init, jnp.swapaxes(xg, 0, 1))
         out = jnp.swapaxes(out, 0, 1)
         if self.reverse:

@@ -104,3 +104,14 @@ def test_custom_model_loading(tmp_path):
                   input_shape=INPUT_SHAPE, model_type="custom")
     x = jnp.zeros((2,) + INPUT_SHAPE)
     assert model(x).shape == (2, 1)
+
+
+@pytest.mark.parametrize("model_type", ["rnn", "lstm", "gru", "crnn"])
+def test_recurrent_archs_accept_bfloat16_inputs(model_type):
+    """bf16 activations against f32 params promote the scan gates to f32;
+    the carry must start in the same dtype (regression: bench bf16 path)."""
+    model = _build(model_type)
+    x = jnp.ones((2,) + INPUT_SHAPE, jnp.bfloat16)
+    out = model(x)
+    assert out.shape == (2, 1)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
