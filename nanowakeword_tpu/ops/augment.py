@@ -19,6 +19,7 @@ capability for the training path.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -71,35 +72,46 @@ def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
     return jnp.where(has_bg, bg + shifted * scale, shifted)
 
 
-def pitch_window(max_abs_semitones: float, frame: int = 160) -> int:
+def pitch_window(max_abs_semitones: float, frame: int = 40) -> int:
     """Source-span width needed for rates up to 2^(st/12), 32-aligned."""
     span = int(np.ceil(frame * 2.0 ** (abs(max_abs_semitones) / 12.0))) + 34
     return ((span + 31) // 32) * 32
 
 
 def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
-                   apply: jnp.ndarray, frame: int = 160,
-                   window: int = 384) -> jnp.ndarray:
+                   apply: jnp.ndarray, frame: int = 40,
+                   window: int = 128) -> jnp.ndarray:
     """Pitch/speed shift by linear-interpolation resampling (fixed shape).
 
     rate = 2^(semitones/12); output sample i reads position i*rate, so pitch
     up shortens content (past-the-end reads masked to 0).
 
-    TPU formulation: an element gather `x[floor(i*rate)]` runs at ~1.4 s per
-    2048x32000 batch (measured) — gathers are the TPU's weakest op. Instead:
-      1. per 160-sample output frame, fetch one contiguous `window`-sample
-         source span via a block-row gather (jnp.take over [n/32, 32] rows:
-         coarse, sublane-friendly);
-      2. interpolate inside the span with a one-hot weight matrix contracted
-         on the MXU (`einsum('fk,fjk->fj')`) — zero element gathers.
-    Numerically identical to the direct gather (same linear interpolation).
+    TPU formulation — zero element gathers (the TPU's weakest op; a direct
+    `x[floor(i*rate)]` gather measures ~1.4 s per 2048x32000 batch, and even
+    a 32-wide block-row `jnp.take` spends 92 of 148 ms in the gather):
+      1. materialise all 32-aligned `window`-wide source spans as overlapping
+         views of the `[n/32, 32]` reshape (window//32 static shifted slices
+         — the mel framing trick);
+      2. select each output frame's span with a one-hot [F, n/32] MXU matmul;
+      3. interpolate inside the span with a one-hot weight matrix contracted
+         on the MXU (`einsum('fk,fjk->fj')`).
+    Same linear interpolation as the direct gather; `w` rounds differently
+    (f32 ulp of the absolute read position, ~0.2% FS worst case on white
+    noise) — immaterial under augmentation noise.
 
-    `window` must cover frame*max_rate + 33 (`pitch_window()` computes it);
-    the default 384 covers ±12 semitones. The augmentation chain passes the
-    tight static value derived from its pitch bounds.
+    `frame` is the output chunk size: smaller chunks need proportionally
+    smaller spans, shrinking the [F, frame, window] weight tensor that
+    dominates HBM traffic. frame=40/window=96 measures 37.8 ms per
+    2048x16000 batch vs 148 ms for frame=160/window=256 and ~1400 ms for
+    the direct gather.
+
+    `window` must cover frame*max_rate + 34 (`pitch_window()` computes it);
+    the default 128 covers ±12 semitones at frame=40. The augmentation chain
+    passes the tight static value derived from its pitch bounds.
     """
     n = x.shape[-1]
-    if n % frame != 0:
+    blk = 32
+    if n % (frame * blk // math.gcd(frame, blk)) != 0:
         # fall back to the direct formulation for odd lengths (rare paths)
         rate = 2.0 ** (semitones / 12.0)
         pos = jnp.arange(n) * rate
@@ -109,23 +121,27 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
         out = jnp.where(pos <= n - 1, out, 0.0)
         return jnp.where(apply, out, x)
 
-    blk = 32
     n_frames = n // frame
+    n_windows = n // blk - window // blk + 1
     rate = 2.0 ** (semitones / 12.0)
 
-    # source span start (block-aligned) per output frame
+    # all 32-aligned window-wide spans, as shifted views (no gather)
+    blocks = x.reshape(n // blk, blk)
+    xw = jnp.concatenate([blocks[k:n_windows + k]
+                          for k in range(window // blk)], axis=1)
+
+    # span start (block-aligned) per output frame; select via one-hot matmul
     f_start = jnp.arange(n_frames, dtype=jnp.float32) * frame * rate
     start_blk = jnp.clip((f_start // blk).astype(jnp.int32), 0,
-                         n // blk - window // blk)
-    blocks = x.reshape(n // blk, blk)
-    span_idx = start_blk[:, None] + jnp.arange(window // blk)[None, :]
-    spans = jnp.take(blocks, span_idx, axis=0)          # [F, W/32, 32]
-    spans = spans.reshape(n_frames, window)             # [F, W]
+                         n_windows - 1)
+    q = jnp.arange(n_windows, dtype=jnp.int32)
+    sel = (q[None, :] == start_blk[:, None]).astype(x.dtype)   # [F, NW]
+    spans = jnp.matmul(sel, xw, preferred_element_type=jnp.float32)
 
     # absolute read positions and within-span offsets
     j = jnp.arange(frame, dtype=jnp.float32)
     pos = (jnp.arange(n_frames, dtype=jnp.float32)[:, None] * frame + j) \
-        * rate                                          # [F, 160]
+        * rate                                          # [F, frame]
     rel = pos - (start_blk * blk)[:, None].astype(jnp.float32)
     a = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, window - 2)
     w = jnp.clip(rel - a.astype(jnp.float32), 0.0, 1.0)
@@ -136,7 +152,7 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
     onehot_hi = (k[None, None, :] == (a + 1)[:, :, None]).astype(x.dtype)
     weights = onehot_lo * (1.0 - w)[:, :, None] + onehot_hi * w[:, :, None]
     out = jnp.einsum("fk,fjk->fj", spans, weights,
-                     preferred_element_type=jnp.float32)  # [F, 160]
+                     preferred_element_type=jnp.float32)  # [F, frame]
     out = out.reshape(n)
     out = jnp.where(pos.reshape(n) <= n - 1, out, 0.0)
     return jnp.where(apply, out, x)
