@@ -70,6 +70,29 @@ class TestPitch:
         zc_up = int((np.diff(np.sign(up[:4000])) != 0).sum())
         assert zc_up == pytest.approx(zc_orig, rel=0.1)
 
+
+    def test_mxu_path_matches_numpy_interpolation(self):
+        """The span-matmul formulation == explicit linear interpolation
+        (up to f32 ulp of the absolute read position)."""
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=3200).astype(np.float32) * 16000
+        for st in (-4.0, -0.5, 1.7, 4.0):
+            got = np.asarray(A.resample_pitch(jnp.asarray(x),
+                                              jnp.asarray(st),
+                                              jnp.asarray(True)))
+            rate = 2.0 ** (st / 12.0)
+            pos = np.arange(3200) * rate
+            lo = np.clip(np.floor(pos).astype(int), 0, 3199)
+            frac = (pos - lo).astype(np.float32)
+            ref = x[lo] * (1 - frac) + x[np.clip(lo + 1, 0, 3199)] * frac
+            ref = np.where(pos <= 3199, ref, 0.0)
+            # w rounds at the f32 ulp of pos (~2^-12 here) x sample delta
+            np.testing.assert_allclose(got, ref, atol=16000 * 2e-3)
+            # and the valid region must correlate near-perfectly
+            v = pos <= 3199
+            c = np.corrcoef(got[v], ref[v])[0, 1]
+            assert c > 0.99999, c
+
     def test_noop_when_not_applied(self):
         x = jnp.asarray(np.random.default_rng(0).normal(
             size=1000).astype(np.float32))
