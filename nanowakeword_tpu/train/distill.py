@@ -104,7 +104,7 @@ def _run_distill_loop(teacher_module, teacher_variables, student: Model,
         if ema_loss < best_loss:
             best_loss = ema_loss
             best_params = jax.tree_util.tree_map(np.asarray, params)
-        if i % log_interval == 0:
+        if i % min(log_interval, max(steps // 20, 1)) == 0:
             pbar.set_postfix({"ema_loss": f"{ema_loss:.4f}"})
     pbar.close()
 
