@@ -93,6 +93,21 @@ class TestPitch:
             c = np.corrcoef(got[v], ref[v])[0, 1]
             assert c > 0.99999, c
 
+    def test_fallback_path_matches_numpy(self):
+        """Odd lengths take the direct-gather formulation; same math."""
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=1000).astype(np.float32) * 8000
+        got = np.asarray(A.resample_pitch(jnp.asarray(x), jnp.asarray(-3.0),
+                                          jnp.asarray(True)))
+        # mirror the fallback's float32 arithmetic exactly
+        rate = np.float32(2.0 ** (np.float32(-3.0) / np.float32(12.0)))
+        pos = (np.arange(1000, dtype=np.float32) * rate).astype(np.float32)
+        lo = np.clip(np.floor(pos).astype(int), 0, 999)
+        frac = (pos - lo).astype(np.float32)
+        ref = x[lo] * (1 - frac) + x[np.clip(lo + 1, 0, 999)] * frac
+        ref = np.where(pos <= 999, ref, 0.0)
+        np.testing.assert_allclose(got, ref, atol=8000 * 2e-3)
+
     def test_noop_when_not_applied(self):
         x = jnp.asarray(np.random.default_rng(0).normal(
             size=1000).astype(np.float32))

@@ -185,3 +185,26 @@ class TestDynamicBatching:
         # distinct features -> (almost surely) distinct scores
         firsts = [round(r[0], 8) for r in results]
         assert len(set(firsts)) > 6
+
+
+class TestBatchingDisabled:
+    def test_serve_without_batching(self, artifact):
+        """--no-batching path: every request scored individually."""
+        port = _free_port()
+        ready = threading.Event()
+
+        def run():
+            try:
+                serve(model_path=artifact, pipeline="verifier_only",
+                      host="127.0.0.1", port=port, log_level="ERROR",
+                      batching=False,
+                      _ready_callback=lambda srv: ready.set())
+            except Exception:  # noqa: BLE001
+                pass
+
+        threading.Thread(target=run, daemon=True).start()
+        assert ready.wait(timeout=60)
+        feats = np.ones((1, 16, 96), np.float32)
+        r1 = asyncio.run(_roundtrip(port, encode_features(feats)))
+        r2 = asyncio.run(_roundtrip(port, encode_features(feats)))
+        assert r1["score"] == pytest.approx(r2["score"], abs=1e-6)
