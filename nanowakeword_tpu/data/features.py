@@ -66,9 +66,37 @@ class StreamState(NamedTuple):
 
 @functools.lru_cache(maxsize=4)
 def _default_encoder_variables(seed: int = ENCODER_SEED):
+    """Deterministic random initialisation (template / last-resort fallback)."""
     enc = SpeechEmbeddingEncoder()
     return enc.init(jax.random.PRNGKey(seed),
                     jnp.zeros((1, EMB_WINDOW, melops.N_MELS)))
+
+
+@functools.lru_cache(maxsize=1)
+def pretrained_encoder_variables():
+    """Bundled pretrained encoder variables, or None if the asset is absent.
+
+    The asset is produced by train/pretrain_encoder.py (word-classification
+    proxy task over synthetic speech) and plays the role of the reference's
+    downloaded frozen speech-embedding model (AudioFeatures.py:172-183).
+    """
+    from nanowakeword_tpu.assets import speech_encoder_asset_path
+    path = speech_encoder_asset_path()
+    if path is None:
+        return None
+    from flax import serialization
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(_default_encoder_variables(),
+                                         payload)
+
+
+def default_encoder_variables():
+    """The frontend's default encoder weights: pretrained asset if bundled,
+    else the deterministic seed-10 initialisation."""
+    pretrained = pretrained_encoder_variables()
+    return pretrained if pretrained is not None \
+        else _default_encoder_variables()
 
 
 class AudioFeatures:
@@ -90,7 +118,7 @@ class AudioFeatures:
         self.debug_limit = debug_limit
         self.encoder = SpeechEmbeddingEncoder()
         self.encoder_variables = (encoder_variables
-                                  or _default_encoder_variables())
+                                  or default_encoder_variables())
 
         self._jit_stream_step = jax.jit(self._stream_step_impl)
         self._jit_embed = jax.jit(self._embed_impl)

@@ -141,6 +141,86 @@ def _piper_available() -> bool:
         return False
 
 
+def resample_to_16k(audio: np.ndarray, native_rate: int) -> np.ndarray:
+    """Polyphase resample from a voice's native rate (typically 22.05 kHz)
+    to 16 kHz — the reference resamples every synthesized clip the same way
+    (`generate_samples.py:178-290`); skipping it would write wrong-speed
+    WAVs."""
+    if native_rate == SR:
+        return np.asarray(audio, np.float32)
+    import math
+
+    from scipy.signal import resample_poly
+    g = math.gcd(SR, int(native_rate))
+    return resample_poly(np.asarray(audio, np.float64),
+                         SR // g, int(native_rate) // g).astype(np.float32)
+
+
+def _collect_piper_audio(result) -> tuple[np.ndarray, Optional[int]]:
+    """Normalise the piper synthesize() result to (float32 audio, rate).
+
+    Current piper APIs STREAM chunks (AudioChunk objects with
+    audio_float_array / audio_int16_bytes, or raw int16 bytes); older ones
+    return a single array. Handles all three; rate is returned when a chunk
+    carries one, else None (caller falls back to voice.config.sample_rate).
+    """
+    if isinstance(result, np.ndarray):
+        return np.asarray(result, np.float32), None
+
+    pieces, rate = [], None
+    items = result if not isinstance(result, (bytes, bytearray)) \
+        else [result]
+    for chunk in items:
+        if hasattr(chunk, "audio_float_array"):
+            pieces.append(np.asarray(chunk.audio_float_array, np.float32))
+            rate = getattr(chunk, "sample_rate", rate)
+        elif hasattr(chunk, "audio_int16_bytes"):
+            pieces.append(np.frombuffer(chunk.audio_int16_bytes,
+                                        np.int16).astype(np.float32)
+                          / 32768.0)
+            rate = getattr(chunk, "sample_rate", rate)
+        elif isinstance(chunk, (bytes, bytearray)):
+            pieces.append(np.frombuffer(chunk, np.int16).astype(np.float32)
+                          / 32768.0)
+        else:
+            pieces.append(np.asarray(chunk, np.float32))
+    if not pieces:
+        return np.zeros(0, np.float32), rate
+    return np.concatenate(pieces), rate
+
+
+def _piper_synthesize_one(voice, phrase: str, length_scale: float,
+                          noise_scale: float, noise_w: float,
+                          rng: "random.Random") -> np.ndarray:
+    """One phrase through a loaded PiperVoice -> float32 16 kHz audio.
+
+    Mirrors `generate_samples.py:178-290`: passes the full
+    (length_scale, noise_scale, noise_w) setting, picks a random speaker id
+    for multi-speaker voices, and resamples from the voice's native rate.
+    """
+    kwargs = dict(length_scale=length_scale, noise_scale=noise_scale,
+                  noise_w=noise_w)
+    num_speakers = getattr(getattr(voice, "config", None),
+                           "num_speakers", 1) or 1
+    if num_speakers > 1:
+        kwargs["speaker_id"] = rng.randint(0, num_speakers - 1)
+    try:
+        result = voice.synthesize(phrase, **kwargs)
+    except TypeError:
+        # newer piper bundles settings into a SynthesisConfig object
+        import piper
+        cfg_kwargs = dict(length_scale=length_scale,
+                          noise_scale=noise_scale, noise_w_scale=noise_w)
+        if "speaker_id" in kwargs:
+            cfg_kwargs["speaker_id"] = kwargs["speaker_id"]
+        result = voice.synthesize(
+            phrase, syn_config=piper.SynthesisConfig(**cfg_kwargs))
+    audio, rate = _collect_piper_audio(result)
+    native = rate or getattr(getattr(voice, "config", None),
+                             "sample_rate", SR)
+    return resample_to_16k(audio, int(native))
+
+
 def generate_samples(text: Sequence[str] | str,
                      max_samples: int = 100,
                      output_dir: str = "./generated",
@@ -185,19 +265,24 @@ def generate_samples(text: Sequence[str] | str,
     written: List[str] = []
 
     if use_piper:
-        from piper import PiperVoice  # pragma: no cover (env-dependent)
+        from piper import PiperVoice
         voice_objs = [PiperVoice.load(v) for v in voices]
         for i in range(max_samples):
             phrase = texts[i % len(texts)]
             ls, ns, nw = next(settings_cycle)
             voice = voice_objs[i % len(voice_objs)]
-            audio = voice.synthesize(phrase, length_scale=ls, noise_scale=ns,
-                                     noise_w=nw)
-            audio = np.asarray(audio, np.float32)
+            audio = _piper_synthesize_one(voice, phrase, ls, ns, nw, rng)
+            if audio.size == 0:
+                print_warning(f"piper produced no audio for '{phrase}'; "
+                              "skipping.")
+                continue
             audio = cleanup_filter(audio)
             path = os.path.join(output_dir, f"{file_prefix}_{i:06d}.wav")
             write_wav(path, audio * 32767.0)
             written.append(path)
+        if written:
+            print_info(f"Wrote {len(written)} piper clips to "
+                       f"'{output_dir}'.")
         return written
 
     for i in range(max_samples):

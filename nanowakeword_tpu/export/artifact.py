@@ -210,14 +210,21 @@ def export_params_msgpack(model, model_name: str, output_dir: str) -> str:
 
 def export_onnx_model(model, input_shape, config, model_name: str,
                       output_dir: str) -> Optional[str]:
-    """Optional ONNX converter for ecosystem parity (gated on `onnx`)."""
-    try:
-        import onnx  # noqa: F401
-    except ImportError:
-        print_error("ONNX export requested but the 'onnx' package is not "
-                    "installed; the native .nww artifact was produced instead.")
+    """ONNX interchange export (reference `_export/onnx.py:26-88` parity).
+
+    Self-contained: the graph is built straight from the Flax parameters and
+    serialized by the bundled protobuf writer — no onnx/torch dependency.
+    Covers the feed-forward families (dnn/cnn — including the pipeline's
+    distilled lite/gate students); recurrent/attention models return None
+    with a pointer to the .nww artifact, their actual deploy path.
+    """
+    from nanowakeword_tpu.export.onnx_export import SUPPORTED_TYPES, \
+        export_onnx
+    if model.model_type not in SUPPORTED_TYPES:
+        print_error(f"ONNX export covers {SUPPORTED_TYPES} models; "
+                    f"'{model.model_type}' deploys via the .nww artifact "
+                    "(its recurrence/attention is served by the jitted "
+                    "runtime).")
         return None
-    # jax2onnx-style conversion is environment-dependent; provide the hook.
-    print_error("ONNX conversion backend not bundled in this build; "
-                "use the .nww artifact or a custom_export hook.")
-    return None
+    path = os.path.join(output_dir, model_name + ".onnx")
+    return export_onnx(model, path, input_shape=input_shape)

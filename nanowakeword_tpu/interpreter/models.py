@@ -51,12 +51,18 @@ class ModelRegistry:
     def speech_encoder(self) -> str:
         """Path to the speech-embedding encoder variables (.msgpack).
 
-        Preference order: NWW_TPU_SPEECH_ENCODER_URL download > cached file >
-        freshly materialised deterministic (seed-10) initialisation.
+        Preference order: NWW_TPU_SPEECH_ENCODER_URL download > bundled
+        PRETRAINED asset (shipped with the package, trained by
+        train/pretrain_encoder.py) > cached file > freshly materialised
+        deterministic (seed-10) initialisation as a last resort.
         """
         remote = self._maybe_download("speech_encoder")
         if remote:
             return remote
+        from nanowakeword_tpu.assets import speech_encoder_asset_path
+        bundled = speech_encoder_asset_path()
+        if bundled is not None:
+            return bundled
         d = self._ensure_dir("speech_encoder")
         path = os.path.join(d, "speech_encoder.msgpack")
         if not os.path.exists(path):

@@ -92,19 +92,21 @@ class _DynamicBatcher:
         self._task = None
 
     def start(self):
+        # called from within the server's running loop (asyncio.start_server
+        # context); get_running_loop is the non-deprecated accessor
         import asyncio
         if self._task is None:
-            self._task = asyncio.get_event_loop().create_task(self._run())
+            self._task = asyncio.get_running_loop().create_task(self._run())
 
     async def score(self, features: np.ndarray) -> float:
         import asyncio
-        fut = asyncio.get_event_loop().create_future()
+        fut = asyncio.get_running_loop().create_future()
         await self._queue.put((features, fut))
         return await fut
 
     async def _run(self):
         import asyncio
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         while True:
             first = await self._queue.get()
             batch = [first]

@@ -186,6 +186,15 @@ class E2EModel:
         dummy = jnp.zeros((1, clip_samples), jnp.float32)
         self.variables = self.module.init(
             {"params": jax.random.PRNGKey(seed)}, dummy)
+        # Warm-start the encoder from the bundled pretrained asset when
+        # present — e2e training then fine-tunes (or freezes) a real speech
+        # embedding instead of learning one from scratch.
+        from nanowakeword_tpu.data.features import pretrained_encoder_variables
+        pretrained = pretrained_encoder_variables()
+        if pretrained is not None:
+            params = dict(self.variables["params"])
+            params["encoder"] = pretrained["params"]
+            self.variables = dict(self.variables, params=params)
 
     @property
     def params(self):

@@ -1,0 +1,440 @@
+"""Speech-embedding encoder pretraining (the framework's frozen-asset recipe).
+
+The reference's model quality rests on a *pretrained* speech-embedding graph
+it downloads (`/root/reference/nanowakeword/data/AudioFeatures.py:172-183`,
+`interpreter/models/_registry.py:34-47`) but cannot reproduce — the training
+recipe for that asset is not part of the reference at all. This module IS the
+recipe for ours: a word-classification proxy task over a synthetic
+formant-TTS corpus with on-device augmentation, trained end-to-end on TPU.
+
+Task design: W pseudo-words (phone sequences sampled to cover the phone
+inventory) are synthesized with many "speakers" (f0 / length / noise-scale /
+jitter-seed variations), mixed with colored noise at random SNR, pitch- and
+gain-perturbed on device, then classified from the mean+max-pooled encoder
+embedding. Classifying *which word* was said — invariant to speaker and
+noise — forces the embedding to carry exactly the phonetic content a
+downstream wake-word head needs. Transfer is measured on words never seen in
+pretraining (nearest-centroid identification), which is the property the
+bundled asset must have: useful features for arbitrary wake words.
+
+The result is saved as the registry's default asset
+(`nanowakeword_tpu/assets/speech_encoder_v1.msgpack`); AudioFeatures and the
+training pipeline pick it up automatically (data/features.py).
+
+Run: python -m nanowakeword_tpu.train.pretrain_encoder --out <path>
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanowakeword_tpu.models.embedding import (EMBEDDING_DIM,
+                                               SpeechEmbeddingEncoder)
+from nanowakeword_tpu.ops import mel as melops
+from nanowakeword_tpu.ops.augment import AugmentParams, augment_batch
+from nanowakeword_tpu.utils.logger import print_info
+
+SR = 16000
+
+ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets")
+DEFAULT_ASSET = os.path.join(ASSET_DIR, "speech_encoder_v1.msgpack")
+
+# Phone inventory for pseudo-word sampling (onsets/nuclei/codas the formant
+# synthesizer renders distinctly).
+_ONSETS = ["B", "D", "G", "K", "P", "T", "M", "N", "L", "R", "S", "SH",
+           "F", "V", "Z", "CH", "JH", "W", "Y", "HH", "TH"]
+_NUCLEI = ["AA", "AE", "AH", "AO", "EH", "ER", "EY", "IH", "IY", "OW",
+           "UW", "AY", "AW", "OY", "UH"]
+_CODAS = ["", "N", "M", "NG", "S", "T", "K", "L", "R", "SH", "Z", "D"]
+
+
+class PretrainConfig(NamedTuple):
+    vocab_size: int = 256
+    variants_per_word: int = 24    # train variants (distinct "speakers")
+    heldout_variants: int = 4      # extra variants held out for eval
+    clip_samples: int = 24000      # 1.5 s
+    noise_clips: int = 192
+    batch_size: int = 512
+    steps: int = 3000
+    peak_lr: float = 2e-3
+    weight_decay: float = 1e-4
+    warmup_frac: float = 0.05
+    seed: int = 10
+
+
+def sample_vocab(n_words: int, seed: int = 10,
+                 min_syllables: int = 2, max_syllables: int = 3,
+                 exclude: Sequence[str] = ()) -> List[str]:
+    """Sample n phonetically-distinct pseudo-words (as spellings).
+
+    Words are built syllable-by-syllable from the phone inventory, converted
+    to spellings with the reverse G2P, and deduped by their ROUND-TRIP phone
+    sequence (the synthesizer re-derives phones from the spelling, so two
+    spellings that read back identically are the same acoustic class).
+    """
+    import random
+
+    from nanowakeword_tpu.data.generator.g2p import (phones_to_word,
+                                                     word_to_phones)
+    rng = random.Random(seed)
+    seen = {tuple(word_to_phones(w)) for w in exclude}
+    words: List[str] = []
+    attempts = 0
+    while len(words) < n_words and attempts < n_words * 60:
+        attempts += 1
+        phones: List[str] = []
+        for _ in range(rng.randint(min_syllables, max_syllables)):
+            phones.append(rng.choice(_ONSETS))
+            phones.append(rng.choice(_NUCLEI))
+            if rng.random() < 0.35:
+                coda = rng.choice(_CODAS)
+                if coda:
+                    phones.append(coda)
+        spelling = phones_to_word(phones)
+        key = tuple(word_to_phones(spelling))
+        if len(key) < 3 or key in seen:
+            continue
+        seen.add(key)
+        words.append(spelling)
+    if len(words) < n_words:
+        raise RuntimeError(f"could only sample {len(words)} distinct words")
+    return words
+
+
+def synthesize_word_variants(word: str, n_variants: int, clip_samples: int,
+                             seed: int) -> np.ndarray:
+    """[n_variants, clip_samples] int16 clips of one word, varied speakers."""
+    import random
+
+    from nanowakeword_tpu.data.generator.tts import (cleanup_filter,
+                                                     formant_synthesize)
+    rng = random.Random(seed)
+    out = np.zeros((n_variants, clip_samples), np.int16)
+    for v in range(n_variants):
+        f0 = rng.uniform(85.0, 235.0)
+        ls = rng.uniform(0.8, 1.25)
+        ns = rng.uniform(0.2, 0.9)
+        audio = formant_synthesize(word, length_scale=ls, noise_scale=ns,
+                                   f0=f0, seed=seed * 7919 + v)
+        audio = cleanup_filter(audio)[:clip_samples]
+        out[v, :len(audio)] = (audio * 32767.0).astype(np.int16)
+    return out
+
+
+def make_noise_pool(n_clips: int, clip_samples: int,
+                    seed: int = 10) -> np.ndarray:
+    """[n, clip_samples] int16 colored/babble noise for SNR mixing."""
+    from scipy.signal import butter, lfilter
+
+    rng = np.random.default_rng(seed)
+    out = np.zeros((n_clips, clip_samples), np.int16)
+    for i in range(n_clips):
+        kind = i % 4
+        white = rng.standard_normal(clip_samples)
+        if kind == 0:                         # broadband
+            noise = white
+        elif kind == 1:                       # low-pass "rumble"
+            b, a = butter(2, rng.uniform(300, 1500) / (SR / 2), btype="low")
+            noise = lfilter(b, a, white)
+        elif kind == 2:                       # band-passed hiss
+            lo = rng.uniform(800, 3000)
+            hi = lo + rng.uniform(1000, 4000)
+            b, a = butter(2, [lo / (SR / 2), min(hi, 7800) / (SR / 2)],
+                          btype="band")
+            noise = lfilter(b, a, white)
+        else:                                 # amplitude-modulated bursts
+            env = np.clip(np.sin(2 * np.pi * rng.uniform(0.5, 4.0)
+                                 * np.arange(clip_samples) / SR)
+                          + rng.uniform(-0.3, 0.7), 0, None)
+            b, a = butter(2, rng.uniform(1000, 6000) / (SR / 2), btype="low")
+            noise = lfilter(b, a, white) * env
+        peak = np.abs(noise).max()
+        if peak > 0:
+            noise = noise / peak * rng.uniform(0.3, 0.9)
+        out[i] = (noise * 32767.0).astype(np.int16)
+    return out
+
+
+def build_corpus(config: PretrainConfig,
+                 cache_path: Optional[str] = None,
+                 verbose: bool = True) -> Dict[str, np.ndarray]:
+    """Synthesize (or load cached) pretraining corpus.
+
+    Returns dict with: clips [N, L] int16, labels [N] int32,
+    heldout_clips/heldout_labels (unseen variants of seen words),
+    noise [M, L] int16, words (object array of spellings).
+    """
+    if cache_path and os.path.exists(cache_path):
+        data = dict(np.load(cache_path, allow_pickle=True))
+        if (int(data["clips"].shape[0])
+                == config.vocab_size * config.variants_per_word):
+            if verbose:
+                print_info(f"Loaded pretraining corpus from {cache_path}")
+            return data
+
+    words = sample_vocab(config.vocab_size, seed=config.seed)
+    n_total = config.variants_per_word + config.heldout_variants
+    clips, labels, ho_clips, ho_labels = [], [], [], []
+    t0 = time.time()
+    for w, word in enumerate(words):
+        var = synthesize_word_variants(word, n_total, config.clip_samples,
+                                       seed=config.seed + w * 1031)
+        clips.append(var[:config.variants_per_word])
+        labels.extend([w] * config.variants_per_word)
+        ho_clips.append(var[config.variants_per_word:])
+        ho_labels.extend([w] * config.heldout_variants)
+        if verbose and (w + 1) % 64 == 0:
+            print_info(f"  synthesized {w + 1}/{len(words)} words "
+                       f"({time.time() - t0:.0f}s)")
+    data = {
+        "clips": np.concatenate(clips),
+        "labels": np.asarray(labels, np.int32),
+        "heldout_clips": np.concatenate(ho_clips),
+        "heldout_labels": np.asarray(ho_labels, np.int32),
+        "noise": make_noise_pool(config.noise_clips, config.clip_samples,
+                                 seed=config.seed + 77),
+        "words": np.asarray(words, object),
+    }
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        np.savez_compressed(cache_path, **data)
+        if verbose:
+            print_info(f"Cached pretraining corpus at {cache_path}")
+    return data
+
+
+class EncoderPretrainModule(nn.Module):
+    """audio [B, L] (int16 scale) -> word logits [B, vocab_size].
+
+    The encoder submodule is named "encoder" so its variables lift out
+    directly as the deployable asset (same numerics as inference:
+    bf16 mel frontend, f32/HIGH-precision encoder).
+    """
+
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
+        from nanowakeword_tpu.data.features import EMB_OFFSET
+        mel = melops.mel_frontend(audio, compute_dtype=jnp.bfloat16)
+        emb = SpeechEmbeddingEncoder(name="encoder")(mel[:, EMB_OFFSET:])
+        pooled = jnp.concatenate([emb.mean(axis=1), emb.max(axis=1)], axis=-1)
+        return nn.Dense(self.vocab_size, name="word_head")(pooled)
+
+
+def extract_encoder_variables(pretrain_variables) -> dict:
+    """Pretrain-module variables -> SpeechEmbeddingEncoder variables."""
+    out = {}
+    for coll, sub in pretrain_variables.items():
+        if "encoder" in sub:
+            out[coll] = sub["encoder"]
+    return out
+
+
+def _pretrain_augment_params() -> AugmentParams:
+    return AugmentParams(
+        rir_prob=0.0, gain_prob=0.5, pitch_prob=0.3,
+        min_pitch=-1.5, max_pitch=1.5,
+        min_snr=3.0, max_snr=25.0,
+        min_gain=-6.0, max_gain=6.0,
+        min_volume=0.4, max_volume=1.0)
+
+
+def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
+                     corpus: Optional[Dict[str, np.ndarray]] = None,
+                     cache_path: Optional[str] = None,
+                     log_every: int = 100,
+                     verbose: bool = True) -> Tuple[dict, dict]:
+    """Train the encoder on the word-classification proxy task.
+
+    Returns (encoder_variables, report). All clips live in device memory;
+    each jitted step samples a batch, augments, and takes one optimizer step
+    entirely on device — the host only fetches metrics every `log_every`.
+    """
+    import optax
+
+    if corpus is None:
+        corpus = build_corpus(config, cache_path=cache_path, verbose=verbose)
+    clips = jnp.asarray(corpus["clips"])          # [N, L] int16, on device
+    labels = jnp.asarray(corpus["labels"])        # [N] int32
+    noise = jnp.asarray(corpus["noise"])          # [M, L] int16
+    n_clips, clip_len = clips.shape
+    vocab = int(labels.max()) + 1
+
+    module = EncoderPretrainModule(vocab_size=vocab)
+    variables = module.init(jax.random.PRNGKey(config.seed),
+                            jnp.zeros((1, clip_len), jnp.float32))
+    params = variables["params"]
+
+    warmup = max(int(config.steps * config.warmup_frac), 1)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, config.peak_lr, warmup, max(config.steps, warmup + 1))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(schedule, weight_decay=config.weight_decay))
+    opt_state = tx.init(params)
+    aug_params = _pretrain_augment_params()
+
+    # corpus arrays are passed as jit ARGS, never closed over: closure-
+    # captured device arrays become graph constants and the whole 350 MB
+    # corpus would be shipped inside the compile request
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, key, clips, labels, noise):
+        k_idx, k_noise, k_aug = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (config.batch_size,), 0, n_clips)
+        nidx = jax.random.randint(k_noise, (config.batch_size,), 0,
+                                  noise.shape[0])
+        fg = jnp.take(clips, idx, axis=0)
+        bg = jnp.take(noise, nidx, axis=0)
+        y = jnp.take(labels, idx, axis=0)
+        fg_lens = jnp.full((config.batch_size,), clip_len, jnp.int32)
+        flags = jnp.ones((config.batch_size,), bool)
+        audio = augment_batch(k_aug, fg, bg,
+                              jnp.zeros((config.batch_size, 1), jnp.float32),
+                              fg_lens, flags, jnp.zeros_like(flags),
+                              aug_params).astype(jnp.float32)
+
+        def loss_fn(p):
+            logits = module.apply({"params": p}, audio)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+            acc = (logits.argmax(-1) == y).mean()
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, jnp.stack([loss, acc])
+
+    key = jax.random.PRNGKey(config.seed + 1)
+    t0 = time.time()
+    metrics = None
+    for i in range(config.steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, sub,
+                                          clips, labels, noise)
+        if verbose and ((i + 1) % log_every == 0 or i + 1 == config.steps):
+            m = np.asarray(metrics)   # device fetch = the only sync point
+            print_info(f"  pretrain step {i + 1}/{config.steps} "
+                       f"loss={m[0]:.4f} acc={m[1]:.3f} "
+                       f"({(i + 1) / (time.time() - t0):.1f} steps/s)")
+    final = np.asarray(metrics) if metrics is not None else np.zeros(2)
+
+    full_vars = {"params": jax.device_get(params)}
+    enc_vars = extract_encoder_variables(full_vars)
+
+    # held-out variants of TRAINING words through the full classifier
+    eval_fn = jax.jit(lambda p, a: module.apply({"params": p}, a).argmax(-1))
+    ho, ho_y = corpus["heldout_clips"], corpus["heldout_labels"]
+    correct = total = 0
+    for i in range(0, len(ho), config.batch_size):
+        batch = np.asarray(ho[i:i + config.batch_size], np.float32)
+        pred = np.asarray(eval_fn(params, jnp.asarray(batch)))
+        correct += int((pred == ho_y[i:i + config.batch_size]).sum())
+        total += len(batch)
+
+    report = {
+        "vocab_size": vocab,
+        "train_clips": int(n_clips),
+        "steps": int(config.steps),
+        "final_train_loss": float(final[0]),
+        "final_train_acc": float(final[1]),
+        "heldout_variant_acc": correct / max(total, 1),
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    if verbose:
+        print_info(f"Pretraining done: {json.dumps(report)}")
+    return enc_vars, report
+
+
+def centroid_word_accuracy(encoder_variables, words: Sequence[str],
+                           n_enroll: int = 3, n_test: int = 3,
+                           clip_samples: int = 24000,
+                           seed: int = 9001) -> float:
+    """Transfer metric: identify UNSEEN words by nearest embedding centroid.
+
+    Synthesizes n_enroll + n_test speaker-variants per word, mean-pools the
+    encoder embedding per clip, builds per-word centroids from the enroll
+    split, and classifies the test split by cosine-nearest centroid. A good
+    speech embedding separates words it never saw; a random-init encoder
+    performs near chance (tests/test_pretrained_encoder.py relies on this).
+    """
+    encoder = SpeechEmbeddingEncoder()
+
+    @jax.jit
+    def embed(audio):
+        from nanowakeword_tpu.data.features import EMB_OFFSET
+        mel = melops.mel_frontend(audio, compute_dtype=jnp.bfloat16)
+        emb = encoder.apply(encoder_variables, mel[:, EMB_OFFSET:])
+        return emb.mean(axis=1)
+
+    n_var = n_enroll + n_test
+    all_clips = np.concatenate([
+        synthesize_word_variants(w, n_var, clip_samples, seed=seed + 31 * i)
+        for i, w in enumerate(words)]).astype(np.float32)
+    vecs = np.asarray(embed(jnp.asarray(all_clips)))
+    vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=-1, keepdims=True),
+                             1e-8)
+    vecs = vecs.reshape(len(words), n_var, EMBEDDING_DIM)
+
+    centroids = vecs[:, :n_enroll].mean(axis=1)
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=-1,
+                                           keepdims=True), 1e-8)
+    test = vecs[:, n_enroll:].reshape(-1, EMBEDDING_DIM)
+    pred = (test @ centroids.T).argmax(axis=-1)
+    truth = np.repeat(np.arange(len(words)), n_test)
+    return float((pred == truth).mean())
+
+
+def save_encoder_asset(encoder_variables, path: str = DEFAULT_ASSET,
+                       meta: Optional[dict] = None) -> str:
+    """Serialize encoder variables (+ JSON sidecar) as a registry asset."""
+    from flax import serialization
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    as_np = jax.tree_util.tree_map(np.asarray, encoder_variables)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(as_np))
+    with open(path + ".json", "w") as f:
+        json.dump(meta or {}, f, indent=1)
+    print_info(f"Saved encoder asset to {path}")
+    return path
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+    p = argparse.ArgumentParser(description="Pretrain the speech encoder")
+    p.add_argument("--out", default=DEFAULT_ASSET)
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--vocab", type=int, default=256)
+    p.add_argument("--variants", type=int, default=24)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--cache", default=None,
+                   help="corpus .npz cache path (skips re-synthesis)")
+    args = p.parse_args(argv)
+
+    config = PretrainConfig(vocab_size=args.vocab,
+                            variants_per_word=args.variants,
+                            batch_size=args.batch, steps=args.steps)
+    enc_vars, report = pretrain_encoder(config, cache_path=args.cache)
+
+    train_words = [str(w) for w in build_corpus(
+        config, cache_path=args.cache, verbose=False)["words"]]
+    transfer_words = sample_vocab(24, seed=424242, exclude=train_words)
+    report["unseen_word_centroid_acc"] = centroid_word_accuracy(
+        enc_vars, transfer_words)
+    print_info(f"Transfer (unseen-word centroid) accuracy: "
+               f"{report['unseen_word_centroid_acc']:.3f}")
+    save_encoder_asset(enc_vars, args.out, meta=report)
+
+
+if __name__ == "__main__":
+    main()

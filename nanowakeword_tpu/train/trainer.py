@@ -228,13 +228,31 @@ class Trainer:
 
     # -- device-cached training (train/cached.py) --------------------------------
 
-    def train_device_cached(self, X, X_val, max_steps, log_path):
+    @staticmethod
+    def _rotate_checkpoints(checkpoint_dir, limit):
+        all_ckpts = sorted(
+            (f for f in os.listdir(checkpoint_dir)
+             if f.startswith("checkpoint_step_")),
+            key=lambda f: int(re.search(r"(\d+)", f).group(1)))
+        while len(all_ckpts) > limit:
+            victim = os.path.join(checkpoint_dir, all_ckpts.pop(0))
+            if os.path.isdir(victim):
+                import shutil
+                shutil.rmtree(victim)
+            else:
+                os.remove(victim)
+
+    def train_device_cached(self, X, X_val, max_steps, log_path,
+                            resume_from_dir=None):
         """Fully device-resident ISBL training in K-step compiled dispatches.
 
         Zero per-step host traffic: sampling, gather, step, and hardness
         updates all run on device; the host sees one [K, 6] metrics array
-        per dispatch. Bookkeeping (EMA stopping, SWA pool, validation,
-        durable checkpoints) happens at dispatch granularity.
+        per dispatch. Bookkeeping happens at dispatch granularity with the
+        SAME semantics as the host loop (train_model.py:346-759 parity):
+        EMA/validation early stopping, SWA checkpoint pool, periodic
+        hardness reset, durable checkpoints (state + hardness + loop RNG
+        key), and --resume.
         """
         from nanowakeword_tpu.train.cached import (build_cached_data,
                                                    make_cached_train_loop,
@@ -274,24 +292,107 @@ class Trainer:
         stabilization = int(config.get("stabilization_steps",
                                        int(max_steps * 0.05)))
         val_interval = int(config.get("val_interval", 500))
+        min_delta = float(config.get("min_delta", 0.0001))
+
+        user_patience = config.get("early_stopping_patience", None)
+        if user_patience is not None:
+            patience = int(user_patience)
+        elif int(config.get("steps", max_steps)) < 3000:
+            patience = 0
+        else:
+            patience = int(max_steps * 0.10)
+        best_ema_for_stopping = float("inf")
+        steps_without_improvement = 0
+        val_patience = int(config.get("val_early_stopping_patience",
+                                      int(max_steps * 0.15)))
+        val_steps_without_improvement = 0
+
+        hardness_reset_interval = int(config.get("hardness_reset_interval",
+                                                 5000))
+        hardness_reset_decay = float(config.get("hardness_reset_decay", 0.5))
+
+        ckpt_cfg = config.get("checkpointing", {})
+        ckpt_enabled = bool(ckpt_cfg.get("enabled", False))
+        ckpt_interval = int(ckpt_cfg.get("interval_steps", 1000))
+        ckpt_limit = int(ckpt_cfg.get("limit", 3))
+        checkpoint_dir = os.path.join(log_path, "checkpoints")
+        if ckpt_enabled:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            print_info(f"Checkpointing ENABLED every ~{ckpt_interval} steps "
+                       f"(dispatch-aligned).")
+
         hardness = cached.hardness
         key = jax.random.PRNGKey(int(config.get("seed", 10)) + 1)
 
         step_ndx = 0
-        next_pool = ((stabilization // pool_interval) + 1) * pool_interval
-        next_val = ((max(stabilization, int(config.get(
-            "val_stabilization_steps", stabilization))) // val_interval) + 1
-        ) * val_interval
-        while step_ndx < max_steps:
+        if resume_from_dir:
+            resume_ckpt_dir = os.path.join(resume_from_dir,
+                                           "training_artifacts", "checkpoints")
+            latest = self.find_latest_checkpoint(resume_ckpt_dir)
+            if latest:
+                print_info(f"Resuming device-cached run from: {latest}")
+                ckpt = self.restore_checkpoint(latest, sampler)
+                step_ndx = int(ckpt["step"])
+                ema_loss = ckpt.get("ema_loss")
+                steps_without_improvement = ckpt.get(
+                    "steps_without_improvement", 0)
+                best_ema_for_stopping = ckpt.get("best_ema_loss_for_stopping",
+                                                 float("inf"))
+                val_steps_without_improvement = ckpt.get(
+                    "val_steps_without_improvement", 0)
+                if ckpt.get("dataset_hardness") is not None:
+                    hardness = jnp.asarray(ckpt["dataset_hardness"],
+                                           jnp.float32)
+                if ckpt.get("loop_rng_key") is not None:
+                    key = jnp.asarray(ckpt["loop_rng_key"])
+                if mesh is not None:
+                    from nanowakeword_tpu.parallel.dp import shard_train_state
+                    self.state = shard_train_state(self.state, mesh)
+                print_info(f"Restored state; resuming from step {step_ndx}.")
+            else:
+                print_info(f"WARNING: no checkpoint in '{resume_ckpt_dir}'. "
+                           "Starting fresh.")
+
+        def _save(step):
+            self.save_checkpoint(
+                checkpoint_dir, step, sampler,
+                ema_loss=ema_loss,
+                best_ema_loss_for_stopping=best_ema_for_stopping,
+                steps_without_improvement=steps_without_improvement,
+                val_steps_without_improvement=val_steps_without_improvement,
+                dataset_hardness=np.asarray(hardness),
+                loop_rng_key=np.asarray(key))
+            self._rotate_checkpoints(checkpoint_dir, ckpt_limit)
+
+        use_train_stop = X_val is None or len(X_val) == 0
+        next_pool = max(((max(step_ndx, stabilization) // pool_interval) + 1)
+                        * pool_interval, step_ndx + 1)
+        next_val = max(((max(step_ndx, stabilization, int(config.get(
+            "val_stabilization_steps", stabilization))) // val_interval) + 1)
+            * val_interval, step_ndx + 1)
+        next_ckpt = ((step_ndx // ckpt_interval) + 1) * ckpt_interval
+        next_hreset = (((step_ndx // hardness_reset_interval) + 1)
+                       * hardness_reset_interval
+                       if hardness_reset_interval > 0 else None)
+        stopped_early = False
+
+        while step_ndx < max_steps and not stopped_early:
             self.state, hardness, key, metrics = loop(
                 self.state, hardness, key, cached.features, cached.labels,
                 cached.pools)
             m = np.asarray(metrics)  # one fetch per K steps
             losses_k = m[:, 0]
             self.history["loss"].extend(losses_k.tolist())
+            # per-step EMA + improvement counting, exactly as the host loop
             for lv in losses_k:
                 ema_loss = lv if ema_loss is None else (
                     ema_alpha * lv + (1 - ema_alpha) * ema_loss)
+                if patience > 0:
+                    if ema_loss < best_ema_for_stopping - min_delta:
+                        best_ema_for_stopping = ema_loss
+                        steps_without_improvement = 0
+                    else:
+                        steps_without_improvement += 1
             # recall at ~100-step granularity from in-step counters
             for off in range(0, k_steps, 100):
                 tp, fn = m[off, 2], m[off, 3]
@@ -300,6 +401,12 @@ class Trainer:
                     self.history["train_recall"].append(
                         float(tp / (tp + fn)))
             step_ndx += k_steps
+
+            if next_hreset is not None and step_ndx >= next_hreset:
+                next_hreset += hardness_reset_interval
+                # same decay-toward-1.0 semantics as dataset.reset_hardness
+                hardness = (hardness * hardness_reset_decay
+                            + (1.0 - hardness_reset_decay))
 
             if step_ndx >= next_pool and step_ndx > stabilization:
                 next_pool += pool_interval
@@ -332,7 +439,29 @@ class Trainer:
                 if vm["error_score"] < self.best_error_score:
                     self.best_error_score = vm["error_score"]
                     self.best_model_on_error_score = self._host_params()
+                    val_steps_without_improvement = 0
+                else:
+                    val_steps_without_improvement += val_interval
+                if (val_patience > 0 and step_ndx > stabilization
+                        and val_steps_without_improvement >= val_patience):
+                    print_info(f"\nValidation early stopping at step "
+                               f"{step_ndx}: no val-error improvement for "
+                               f"{val_patience} steps.")
+                    stopped_early = True
 
+            if (patience > 0 and use_train_stop and not stopped_early
+                    and step_ndx > stabilization
+                    and steps_without_improvement >= patience):
+                print_info(f"\nEarly stopping at step {step_ndx}: no stable-"
+                           f"loss improvement for {patience} steps.")
+                stopped_early = True
+
+            if ckpt_enabled and step_ndx >= next_ckpt:
+                next_ckpt = ((step_ndx // ckpt_interval) + 1) * ckpt_interval
+                _save(step_ndx)
+
+        if ckpt_enabled and stopped_early:
+            _save(step_ndx)   # durable record of the stopping point
         dataset.sample_hardness[:] = np.asarray(hardness)
         print_info(f"Device-cached training finished at step {step_ndx} "
                    f"({k_steps} steps/dispatch).")
@@ -347,9 +476,9 @@ class Trainer:
         config = self.config
 
         dc_cfg = config.get("device_cache", {})
-        if dc_cfg and dc_cfg.get("enabled", False) and self.mesh is None \
-                and resume_from_dir is None:
-            return self.train_device_cached(X, X_val, max_steps, log_path)
+        if dc_cfg and dc_cfg.get("enabled", False) and self.mesh is None:
+            return self.train_device_cached(X, X_val, max_steps, log_path,
+                                            resume_from_dir=resume_from_dir)
 
         debug_mode = bool(config.get("debug_mode", False))
         log_dir = os.path.join(log_path, "training_debug")
@@ -593,17 +722,7 @@ class Trainer:
                     best_ema_loss_for_stopping=best_ema_for_stopping,
                     steps_without_improvement=steps_without_improvement,
                     dataset_hardness=dataset.sample_hardness.copy())
-                all_ckpts = sorted(
-                    (f for f in os.listdir(checkpoint_dir)
-                     if f.startswith("checkpoint_step_")),
-                    key=lambda f: int(re.search(r"(\d+)", f).group(1)))
-                while len(all_ckpts) > ckpt_limit:
-                    victim = os.path.join(checkpoint_dir, all_ckpts.pop(0))
-                    if os.path.isdir(victim):
-                        import shutil
-                        shutil.rmtree(victim)
-                    else:
-                        os.remove(victim)
+                self._rotate_checkpoints(checkpoint_dir, ckpt_limit)
 
             # validation (train_model.py:714-756)
             if (X_val is not None and len(X_val) > 0

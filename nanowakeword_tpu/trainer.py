@@ -29,6 +29,7 @@ from nanowakeword_tpu.data.dataset import (AdaptiveLossAwareDataset,
                                            DynamicClassAwareSampler,
                                            ValidationDataset)
 from nanowakeword_tpu.export.artifact import (EXTENSION, export_model,
+                                              export_onnx_model,
                                               export_params_msgpack)
 from nanowakeword_tpu.export.custom_export import (auto_gen_name,
                                                    export_custom_model)
@@ -363,10 +364,17 @@ def train(cli_args=None):
         nww.plot_history(artifacts_dir)
         training_minutes = (time.time() - training_start) / 60
 
-        from nanowakeword_tpu.data.features import _default_encoder_variables
-        encoder_vars = _default_encoder_variables()
+        from nanowakeword_tpu.data.features import default_encoder_variables
+        encoder_vars = default_encoder_variables()
         export_model(best_model, input_shape, config, model_name,
                      model_save_dir, encoder_variables=encoder_vars)
+        from nanowakeword_tpu.export.onnx_export import SUPPORTED_TYPES
+        if best_model.model_type in SUPPORTED_TYPES:
+            try:
+                export_onnx_model(best_model, input_shape, config,
+                                  model_name, model_save_dir)
+            except Exception as e:  # noqa: BLE001
+                print_warning(f"ONNX export failed (non-fatal): {e}")
 
         dist_cfg = config.get("distillation", {})
         should_distill = bool(dist_cfg.get("enabled", True)) or args.distill
@@ -381,6 +389,11 @@ def train(cli_args=None):
                 export_model(student, input_shape, config,
                              model_name + "_lite", model_save_dir,
                              encoder_variables=encoder_vars)
+                try:
+                    export_onnx_model(student, input_shape, config,
+                                      model_name + "_lite", model_save_dir)
+                except Exception as e:  # noqa: BLE001
+                    print_warning(f"ONNX export of lite model failed: {e}")
                 try:
                     export_custom_model(student, input_shape, config,
                                         model_name + "_lite", model_save_dir)
