@@ -152,7 +152,12 @@ class AudioFeatures:
         """Reset internal streaming buffers (AudioFeatures.py:116-122)."""
         self.raw_data_remainder = np.empty(0, dtype=np.float32)
         self.accumulated_samples = 0
-        self._pending = np.empty(0, dtype=np.float32)
+        if not hasattr(self, "_chunker"):
+            # chunk framing + remainder carry runs in the native runtime
+            # (native/nww_runtime.cc) with a numpy fallback inside Chunker
+            from nanowakeword_tpu.runtime import Chunker
+            self._chunker = Chunker(CHUNK)
+        self._chunker.reset()
         self._frames_seen = 0  # embedding frames emitted since reset
         self.state = StreamState(
             tail=jnp.zeros(melops.LEFT_PAD, jnp.float32),
@@ -229,24 +234,19 @@ class AudioFeatures:
         accumulated so far if < 1280), mirroring AudioFeatures.py:410-453.
         """
         x = np.asarray(x, np.float32).reshape(-1)
-        self._pending = np.concatenate([self._pending, x])
-
-        n_chunks = len(self._pending) // CHUNK
-        if n_chunks == 0:
-            self.accumulated_samples = len(self._pending)
+        chunks = self._chunker.feed(x)   # [n_chunks, 1280] float32
+        if chunks.shape[0] == 0:
+            self.accumulated_samples = self._chunker.pending
             return self.accumulated_samples
 
         state = self.state
-        for c in range(n_chunks):
-            chunk = jnp.asarray(self._pending[c * CHUNK:(c + 1) * CHUNK])
-            state = self._jit_stream_step(state, chunk)
+        for chunk in chunks:
+            state = self._jit_stream_step(state, jnp.asarray(chunk))
         self.state = state
-        self._frames_seen += n_chunks
+        self._frames_seen += chunks.shape[0]
 
-        processed = n_chunks * CHUNK
-        self._pending = self._pending[processed:]
-        self.accumulated_samples = len(self._pending)
-        return processed
+        self.accumulated_samples = self._chunker.pending
+        return chunks.shape[0] * CHUNK
 
     def __call__(self, x) -> int:
         return self._streaming_features(x)

@@ -473,21 +473,18 @@ class NanoInterpreter:
         general path (warm-up guard, cascade gating, VAD, post-filters)."""
         pre = self.preprocessor
         x = np.asarray(x, np.float32).reshape(-1)
-        pre._pending = np.concatenate([pre._pending, x])
-        n_chunks = len(pre._pending) // 1280
-        if n_chunks == 0:
-            pre.accumulated_samples = len(pre._pending)
+        chunks = pre._chunker.feed(x)    # native framing + remainder carry
+        if chunks.shape[0] == 0:
+            pre.accumulated_samples = pre._chunker.pending
             return DetectionResult(scores=dict(self.post_processed_scores),
                                    model_name=self.model_name,
                                    gate_name=self.gate_name)
 
         raw = {}
-        for c in range(n_chunks):
-            chunk = jnp.asarray(pre._pending[c * 1280:(c + 1) * 1280])
-            raw = self._fused_step(chunk)
-        n_prepared = n_chunks * 1280
-        pre._pending = pre._pending[n_prepared:]
-        pre.accumulated_samples = len(pre._pending)
+        for chunk in chunks:
+            raw = self._fused_step(jnp.asarray(chunk))
+        n_prepared = chunks.shape[0] * 1280
+        pre.accumulated_samples = pre._chunker.pending
 
         frames_avail = min(pre._frames_seen, pre.state.feat_buf.shape[0])
         current_raw_preds = {}
@@ -666,16 +663,40 @@ class NanoInterpreter:
                 print(f"\nDetected '{name}'!  (score: {score:.5f})")
 
         def _loop():
+            # Real-time structure: a dedicated capture thread pushes int16
+            # frames into the native SPSC ring (native/nww_runtime.cc —
+            # lock-free, drops OLDEST on overflow so capture never blocks);
+            # this thread pops whole chunks and scores them. A slow scoring
+            # step therefore skips audio instead of stalling the microphone,
+            # unlike the reference's read->score-in-one-thread loop
+            # (nanointerpreter.py:753-863).
+            from nanowakeword_tpu.runtime import AudioRing
+            ring = AudioRing(capacity=16000 * 10)
             pa = pyaudio.PyAudio()
             stream = pa.open(format=pyaudio.paInt16, channels=1, rate=16000,
                              input=True, frames_per_buffer=chunk_size)
             last_detection = 0.0
             stop_event = self._stop_event
+            capture_stop = threading.Event()
+
+            def _capture():
+                while not capture_stop.is_set():
+                    try:
+                        ring.push(np.frombuffer(
+                            stream.read(chunk_size,
+                                        exception_on_overflow=False),
+                            dtype=np.int16))
+                    except OSError:
+                        return
+
+            capture_thread = threading.Thread(target=_capture, daemon=True)
+            capture_thread.start()
             try:
                 while not (stop_event and stop_event.is_set()):
-                    audio = np.frombuffer(
-                        stream.read(chunk_size, exception_on_overflow=False),
-                        dtype=np.int16)
+                    if ring.size < chunk_size:
+                        time.sleep(chunk_size / 16000 / 4)
+                        continue
+                    audio = ring.pop(chunk_size)
                     if on_audio is not None:
                         on_audio(audio)
                     self.predict(audio)
@@ -691,9 +712,11 @@ class NanoInterpreter:
             except KeyboardInterrupt:
                 pass
             finally:
+                capture_stop.set()
                 stream.stop_stream()
                 stream.close()
                 pa.terminate()
+                capture_thread.join(timeout=1.0)
 
         if blocking:
             _loop()

@@ -52,6 +52,12 @@ def load_native() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
+            if not hasattr(lib, "nww_chunker_feed_f32"):
+                # stale library from an older source revision: rebuild
+                lib = None
+                if not _build():
+                    return None
+                lib = ctypes.CDLL(_LIB_PATH)
         except OSError as e:
             print_warning(f"native runtime load failed: {e}")
             return None
@@ -82,6 +88,10 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.nww_chunker_pending.argtypes = [ctypes.c_void_p]
         lib.nww_chunker_feed.restype = ctypes.c_size_t
         lib.nww_chunker_feed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t]
+        lib.nww_chunker_feed_f32.restype = ctypes.c_size_t
+        lib.nww_chunker_feed_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t]
         _lib = lib
@@ -181,14 +191,21 @@ class Chunker:
         return len(self._pending)
 
     def feed(self, samples: np.ndarray) -> np.ndarray:
-        """int16 samples in -> [n_chunks, chunk] float32 out."""
-        samples = np.ascontiguousarray(samples, np.int16)
+        """int16 or float32 samples in -> [n_chunks, chunk] float32 out.
+
+        Float inputs take the f32 native path unquantised (AudioFeatures
+        streams fractional float32; int16 framing would round them)."""
+        samples = np.asarray(samples).reshape(-1)
+        as_float = samples.dtype.kind == "f"
+        samples = np.ascontiguousarray(
+            samples, np.float32 if as_float else np.int16)
         if self._handle:
             max_chunks = (self.pending + len(samples)) // self.chunk
             out = np.empty((max(max_chunks, 1), self.chunk), np.float32)
-            n = int(self._lib.nww_chunker_feed(
-                self._handle, samples.ctypes.data, len(samples),
-                out.ctypes.data, max_chunks))
+            feed = (self._lib.nww_chunker_feed_f32 if as_float
+                    else self._lib.nww_chunker_feed)
+            n = int(feed(self._handle, samples.ctypes.data, len(samples),
+                         out.ctypes.data, max_chunks))
             return out[:n]
         self._pending = np.concatenate(
             [self._pending, samples.astype(np.float32)])

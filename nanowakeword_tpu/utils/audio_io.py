@@ -24,7 +24,20 @@ AUDIO_EXTENSIONS = {".wav", ".mp3", ".flac", ".m4a", ".ogg"}
 
 
 def read_wav(path: str):
-    """-> (int16 mono samples, sample_rate). Handles 8/16/32-bit PCM WAV."""
+    """-> (int16 mono samples, sample_rate). Handles 8/16/32-bit PCM WAV.
+
+    16-bit PCM (the framework's canonical format) decodes through the native
+    runtime (native/nww_runtime.cc: header parse + mono fold, no Python-level
+    frame iteration); other widths and non-RIFF layouts fall back to the
+    stdlib path below.
+    """
+    from nanowakeword_tpu.runtime import decode_wav_bytes, load_native
+    with wave.open(path, "rb") as probe:
+        is_pcm16 = probe.getsampwidth() == 2
+    if is_pcm16 and load_native() is not None:
+        with open(path, "rb") as f:
+            data, sr = decode_wav_bytes(f.read())
+        return data.astype(np.float32), sr
     with wave.open(path, "rb") as f:
         sr = f.getframerate()
         n = f.getnframes()

@@ -196,11 +196,11 @@ void nww_chunker_reset(NwwChunker* c) { c->pending_len = 0; }
 
 size_t nww_chunker_pending(const NwwChunker* c) { return c->pending_len; }
 
-// Feed n int16 samples; writes as many whole chunks as fit into out
-// (float32, capacity out_capacity_chunks * chunk). Returns chunks emitted;
-// the remainder is carried for the next call.
-size_t nww_chunker_feed(NwwChunker* c, const int16_t* samples, size_t n,
-                        float* out, size_t out_capacity_chunks) {
+}  // extern "C" — template helpers need C++ linkage
+
+template <typename T>
+static size_t chunker_feed_impl(NwwChunker* c, const T* samples, size_t n,
+                                float* out, size_t out_capacity_chunks) {
   // grow pending if needed
   size_t need = c->pending_len + n;
   if (need > c->pending_cap) {
@@ -226,6 +226,23 @@ size_t nww_chunker_feed(NwwChunker* c, const int16_t* samples, size_t n,
           (c->pending_len - take) * sizeof(float));
   c->pending_len -= take;
   return chunks;
+}
+
+extern "C" {
+
+// Feed n int16 samples; writes as many whole chunks as fit into out
+// (float32, capacity out_capacity_chunks * chunk). Returns chunks emitted;
+// the remainder is carried for the next call.
+size_t nww_chunker_feed(NwwChunker* c, const int16_t* samples, size_t n,
+                        float* out, size_t out_capacity_chunks) {
+  return chunker_feed_impl(c, samples, n, out, out_capacity_chunks);
+}
+
+// float32 variant: AudioFeatures streams float32 (possibly fractional)
+// samples; routing them through the int16 feed would quantise.
+size_t nww_chunker_feed_f32(NwwChunker* c, const float* samples, size_t n,
+                            float* out, size_t out_capacity_chunks) {
+  return chunker_feed_impl(c, samples, n, out, out_capacity_chunks);
 }
 
 }  // extern "C"

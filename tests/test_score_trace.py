@@ -26,10 +26,12 @@ def setup(tmp_path_factory):
     model = Model(config=cfg, model_name="trace", input_shape=(N_FRAMES, 96),
                   model_type="dnn", layer_dim=32, n_blocks=2,
                   dropout_prob=0.0)
-    from nanowakeword_tpu.data.features import _default_encoder_variables
+    # bundle the SAME encoder the batch frontend defaults to (the pipeline
+    # invariant: export and feature extraction share default_encoder_variables)
+    from nanowakeword_tpu.data.features import default_encoder_variables
     path = str(root / "trace.nww")
     save_nww(path, model=model, config=cfg, model_name="trace",
-             encoder_variables=_default_encoder_variables())
+             encoder_variables=default_encoder_variables())
     return path, model
 
 
