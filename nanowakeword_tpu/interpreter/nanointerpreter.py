@@ -69,6 +69,13 @@ class DetectionResult:
         return self.score >= self.threshold if self.threshold > 0 else False
 
     def get(self, model_name: str, default: float = 0.0) -> float:
+        if model_name not in self.scores and self.scores:
+            # a typo'd model name otherwise reads as a permanent 0.0 "no
+            # detection" — warn once with the names that DO exist
+            import warnings
+            warnings.warn(
+                f"DetectionResult.get('{model_name}'): unknown model; "
+                f"loaded models are {sorted(self.scores)}", stacklevel=2)
         return self.scores.get(model_name, default)
 
     def __getitem__(self, key: str) -> float:

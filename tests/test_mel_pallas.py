@@ -1,33 +1,54 @@
-"""Fused Pallas mel kernel == XLA mel frontend (interpret mode on CPU CI)."""
+"""Fused Pallas mel kernel == XLA mel frontend (interpret mode on CPU CI).
+
+The kernel itself was additionally validated and benchmarked on a real v5e
+chip (max abs diff 0.0 vs the XLA path at batch 8; see mel_pallas.py header
+and BENCH notes).
+"""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from nanowakeword_tpu.ops import mel as M
-from nanowakeword_tpu.ops.mel_pallas import _frame_tile, mel_frontend_pallas
+from nanowakeword_tpu.ops.mel_pallas import mel_frontend_pallas
 
 
-class TestFrameTile:
-    def test_8_aligned_min_padding(self):
-        # tiles are multiples of 8; padded length ceil(t/ft)*ft is minimised
-        for t in (100, 104, 200, 256, 500):
-            ft = _frame_tile(t)
-            assert ft % 8 == 0 and 48 <= ft <= 128
-        assert _frame_tile(100) == 104   # single tile, 4 frames padding
-        assert _frame_tile(104) == 104
-        assert _frame_tile(256) == 128
-
-
-@pytest.mark.parametrize("shape", [(1, 16000), (3, 32000)])
+@pytest.mark.parametrize("shape", [
+    (1, 16000),    # 100 frames: single-tile kernel (no next-tile input)
+    (3, 32000),    # 200 frames: multi-tile with cross-tile roll-fill
+    (2, 64000),    # 400 frames: several tiles
+    (5, 12345),    # non-HOP-multiple length, odd batch (rows_per_cell=5)
+])
 def test_matches_xla_frontend(rng, shape):
     x = rng.integers(-20000, 20000, shape).astype(np.float32)
     ref = np.asarray(M.mel_frontend(jnp.asarray(x),
                                     compute_dtype=jnp.bfloat16))
     out = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True))
     assert out.shape == ref.shape
-    # same folded constants, same bf16 matmuls; tolerance covers rounding
-    np.testing.assert_allclose(out, ref, atol=0.02)
+    # identical folded bf16 constants; tolerance covers log-amplified
+    # rounding of differently-ordered f32 partial sums near silent bins
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_tile_boundary_frames_exact(rng):
+    """Frames straddling the 128-frame tile boundary must agree with the
+    single-dispatch reference — the cross-tile roll-fill path."""
+    x = rng.integers(-20000, 20000, (2, 48000)).astype(np.float32)  # 300 fr
+    ref = np.asarray(M.mel_frontend(jnp.asarray(x),
+                                    compute_dtype=jnp.bfloat16))
+    out = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True))
+    for boundary in (128, 256):
+        seg = slice(boundary - 3, boundary + 3)
+        np.testing.assert_allclose(out[:, seg], ref[:, seg], atol=2e-3)
+
+
+def test_rows_per_cell_invariance(rng):
+    x = rng.integers(-20000, 20000, (8, 16000)).astype(np.float32)
+    a = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True,
+                                       rows_per_cell=1))
+    b = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True,
+                                       rows_per_cell=8))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_1d_input_promoted(rng):
