@@ -47,8 +47,16 @@ class VAD:
 
         energy = (frames ** 2).mean(axis=1) + 1e-10
         spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-        band_ratio = (spec[:, self._speech_band].sum(axis=1)
-                      / (spec.sum(axis=1) + 1e-12))
+        band_spec = spec[:, self._speech_band] + 1e-12
+        band_ratio = band_spec.sum(axis=1) / (spec.sum(axis=1) + 1e-12)
+        # spectral flatness inside the speech band: voiced speech is peaky
+        # (formants; flatness ~0.001-0.1) while broadband transients — door
+        # slams, decaying bursts — are flat (~0.6). A gentle penalty above
+        # 0.5 rejects bursts without punishing fricative frames
+        # (benchmarked in tests/test_vad.py).
+        flatness = (np.exp(np.mean(np.log(band_spec), axis=1))
+                    / band_spec.mean(axis=1))
+        flat_penalty = 1.0 - np.clip((flatness - 0.5) * 1.5, 0.0, 0.5)
 
         # adaptive noise floor: fast decay down, slow rise up
         probs = np.empty(n_frames, np.float32)
@@ -65,7 +73,8 @@ class VAD:
             # speech ≈ SNR >> 0 dB AND band-concentrated spectrum
             snr_score = 1.0 / (1.0 + np.exp(-(snr_db - 6.0)
                                             * 0.5 * self.sensitivity))
-            probs[i] = snr_score * np.clip(band_ratio[i] * 1.6, 0.0, 1.0)
+            probs[i] = (snr_score * np.clip(band_ratio[i] * 1.6, 0.0, 1.0)
+                        * flat_penalty[i])
         self._noise_floor = floor
         return probs
 
