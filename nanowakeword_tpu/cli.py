@@ -142,6 +142,10 @@ def _build_parser() -> argparse.ArgumentParser:
                               metavar="N")
     server_group.add_argument("--batch-wait-ms", type=float, default=4.0,
                               metavar="MS")
+    server_group.add_argument("--data-parallel", type=int, default=0,
+                              metavar="N",
+                              help="Shard batched scoring over N devices "
+                                   "(-1 = all, 0 = off).")
 
     parser.add_argument("--info", metavar="MODEL", default=None,
                         help="Show metadata for a .nww model file and exit.")
@@ -195,7 +199,8 @@ def _run_server(args):
     serve(model_path=args.model, pipeline=args.pipeline, host=args.host,
           port=args.port, log_level=args.log, security=security,
           batching=not args.no_batching, max_batch=args.max_batch,
-          batch_wait_ms=args.batch_wait_ms)
+          batch_wait_ms=args.batch_wait_ms,
+          data_parallel=args.data_parallel)
 
 
 def _run_info(model_path: str):

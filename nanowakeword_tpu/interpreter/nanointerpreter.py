@@ -96,12 +96,21 @@ class DetectionResult:
 class _LocalSession:
     """A jitted eval session over a loaded .nww Model (the onnxruntime
     InferenceSession analogue). Outputs sigmoid probability, matching the
-    reference's exported-graph contract (_export/onnx.py:35-44)."""
+    reference's exported-graph contract (_export/onnx.py:35-44).
 
-    def __init__(self, model, header):
+    With `mesh` given (a jax.sharding.Mesh), batched scoring shards the
+    batch dimension over the mesh's data axis — every chip scores a slice of
+    the coalesced request batch, a capability the single-host reference
+    cannot express. Parameters replicate; XLA inserts no collectives on the
+    forward (scores are per-example), so scale is linear in chips.
+    """
+
+    def __init__(self, model, header, mesh=None):
         self.model = model
         self.header = header
         self.stateful = bool(header.get("stateful", False))
+        self.mesh = None
+        self._n_data = 1
         if self.stateful:
             def run_stateful(variables, feats, carry):
                 logits, new_carry = model.module.apply(
@@ -114,6 +123,18 @@ class _LocalSession:
                                             deterministic=True)
                 return jax.nn.sigmoid(logits)
             self._fn = jax.jit(run)
+            if mesh is not None:
+                from nanowakeword_tpu.parallel.mesh import (DATA_AXIS,
+                                                            batch_sharding,
+                                                            replicated)
+                self.mesh = mesh
+                self._n_data = int(mesh.shape[DATA_AXIS])
+                self._sharded_fn = jax.jit(
+                    run,
+                    in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                    out_shardings=batch_sharding(mesh))
+                self._sharded_vars = jax.device_put(model.variables,
+                                                    replicated(mesh))
 
     @property
     def feature_length(self) -> int:
@@ -129,7 +150,19 @@ class _LocalSession:
 
     def run_batch(self, feats: np.ndarray) -> np.ndarray:
         """[B, T, F] -> [B] probabilities (stateless models; the server's
-        dynamic micro-batching path)."""
+        dynamic micro-batching path). On a multi-chip mesh the batch is
+        right-padded to a multiple of the data-axis size and sharded across
+        chips; padding rows are dropped from the result."""
+        n = feats.shape[0]
+        if self.mesh is not None:
+            rem = -n % self._n_data
+            if rem:
+                feats = np.concatenate(
+                    [feats, np.zeros((rem,) + feats.shape[1:],
+                                     np.float32)], axis=0)
+            probs = self._sharded_fn(self._sharded_vars,
+                                     jnp.asarray(feats, jnp.float32))
+            return np.asarray(probs).reshape(-1)[:n]
         probs = self._fn(self.model.variables,
                          jnp.asarray(feats, jnp.float32))
         return np.asarray(probs).reshape(-1)

@@ -152,8 +152,15 @@ def serve(model_path: str,
           batching: bool = True,
           max_batch: int = 256,
           batch_wait_ms: float = 4.0,
+          data_parallel: int = 0,
           _ready_callback=None) -> None:
-    """Start the RemoteVerifier WebSocket server; blocks until interrupted."""
+    """Start the RemoteVerifier WebSocket server; blocks until interrupted.
+
+    data_parallel: shard batched scoring over a device mesh — 0 disables,
+    -1 uses every visible device, N uses the first N. Composes with dynamic
+    micro-batching: coalesced request batches split across chips (new
+    capability; the reference is single-host single-session).
+    """
     if pipeline not in _VALID_PIPELINES:
         raise ValueError(f"Invalid pipeline '{pipeline}'. "
                          f"Choose from: {sorted(_VALID_PIPELINES)}")
@@ -183,7 +190,19 @@ def serve(model_path: str,
     from nanowakeword_tpu.interpreter.nanointerpreter import _LocalSession
 
     header, model, encoder_vars = load_nww(model_path)
-    ww_session = _LocalSession(model, header)
+    mesh = None
+    if data_parallel:
+        import jax
+        from nanowakeword_tpu.parallel.mesh import make_mesh
+        n_dev = (len(jax.devices()) if data_parallel < 0
+                 else min(data_parallel, len(jax.devices())))
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+            logger.info(f"Data-parallel serving over {n_dev} devices")
+        else:
+            logger.info("data_parallel requested but only one device "
+                        "visible; serving single-device")
+    ww_session = _LocalSession(model, header, mesh=mesh)
     n_frames = ww_session.feature_length
     batcher = (_DynamicBatcher(ww_session, max_batch=max_batch,
                                max_wait_ms=batch_wait_ms)
@@ -518,6 +537,9 @@ def main(argv=None):
                         help="Disable cross-client dynamic micro-batching.")
     parser.add_argument("--max-batch", type=int, default=256)
     parser.add_argument("--batch-wait-ms", type=float, default=4.0)
+    parser.add_argument("--data-parallel", type=int, default=0,
+                        help="Shard batched scoring over N devices "
+                             "(-1 = all visible devices, 0 = off).")
     args = parser.parse_args(argv)
 
     security = build_security(
@@ -531,7 +553,8 @@ def main(argv=None):
     serve(model_path=args.model, pipeline=args.pipeline, host=args.host,
           port=args.port, log_level=args.log, security=security,
           batching=not args.no_batching, max_batch=args.max_batch,
-          batch_wait_ms=args.batch_wait_ms)
+          batch_wait_ms=args.batch_wait_ms,
+          data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

@@ -187,6 +187,70 @@ class TestDynamicBatching:
         assert len(set(firsts)) > 6
 
 
+class TestDataParallelServing:
+    def test_sharded_run_batch_matches_single_device(self, artifact):
+        """The mesh-sharded batched forward must reproduce the single-device
+        scores exactly (it is the same program, partitioned), including the
+        pad-to-data-axis-multiple path (batch 13 on an 8-way mesh)."""
+        import jax
+        from nanowakeword_tpu.export.artifact import load_nww
+        from nanowakeword_tpu.interpreter.nanointerpreter import _LocalSession
+        from nanowakeword_tpu.parallel.mesh import make_mesh
+
+        header, model, _ = load_nww(artifact)
+        plain = _LocalSession(model, header)
+        sharded = _LocalSession(model, header,
+                                mesh=make_mesh(len(jax.devices())))
+        feats = np.random.default_rng(3).normal(
+            size=(13, 16, 96)).astype(np.float32)
+        p0 = plain.run_batch(feats)
+        p1 = sharded.run_batch(feats)
+        assert p1.shape == (13,)
+        np.testing.assert_allclose(p1, p0, atol=1e-6)
+
+    def test_server_with_data_parallel(self, artifact):
+        """End-to-end: a server sharding over the 8-device virtual mesh
+        serves concurrent clients with correct per-client scores."""
+        port = _free_port()
+        ready = threading.Event()
+
+        def run():
+            try:
+                serve(model_path=artifact, pipeline="verifier_only",
+                      host="127.0.0.1", port=port, log_level="ERROR",
+                      data_parallel=-1, batch_wait_ms=10.0,
+                      _ready_callback=lambda srv: ready.set())
+            except Exception:  # noqa: BLE001
+                pass
+
+        threading.Thread(target=run, daemon=True).start()
+        assert ready.wait(timeout=60)
+
+        rng = np.random.default_rng(7)
+        feats = [rng.normal(size=(1, 16, 96)).astype(np.float32)
+                 for _ in range(10)]
+
+        async def one(f):
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                await ws.send(encode_features(f))
+                resp = json.loads(await asyncio.wait_for(ws.recv(),
+                                                         timeout=30))
+                return resp["score"]
+
+        async def many():
+            return await asyncio.gather(*[one(f) for f in feats])
+
+        scores = asyncio.run(many())
+        assert len(scores) == 10
+        # scores must match an unsharded local session per client
+        from nanowakeword_tpu.export.artifact import load_nww
+        from nanowakeword_tpu.interpreter.nanointerpreter import _LocalSession
+        header, model, _ = load_nww(artifact)
+        plain = _LocalSession(model, header)
+        expected = plain.run_batch(np.concatenate(feats, axis=0))
+        np.testing.assert_allclose(scores, expected, atol=1e-5)
+
+
 class TestBatchingDisabled:
     def test_serve_without_batching(self, artifact):
         """--no-batching path: every request scored individually."""
