@@ -214,7 +214,8 @@ def export_onnx_model(model, input_shape, config, model_name: str,
 
     Self-contained: the graph is built straight from the Flax parameters and
     serialized by the bundled protobuf writer — no onnx/torch dependency.
-    Covers the feed-forward families (dnn/cnn — including the pipeline's
+    Covers every non-recurrent family (dnn/cnn/tcn/quartznet/bcresnet —
+    including the pipeline's
     distilled lite/gate students); recurrent/attention models return None
     with a pointer to the .nww artifact, their actual deploy path.
     """

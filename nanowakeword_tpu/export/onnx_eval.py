@@ -19,29 +19,47 @@ import numpy as np
 from nanowakeword_tpu.export import onnx_proto as P
 
 
-def _conv2d(x, w, b, pads, strides):
-    """x [N,C,H,W], w [O,C,kH,kW] -> [N,O,H',W']."""
+def _conv2d(x, w, b, pads, strides, dilations=(1, 1), group=1):
+    """x [N,C,H,W], w [O,C/g,kH,kW] -> [N,O,H',W'] (groups + dilation)."""
     n, c, h, wd = x.shape
-    o, _, kh, kw = w.shape
+    o, cg, kh, kw = w.shape
     pt, pl, pb, pr = pads
     sh, sw = strides
+    dh, dw = dilations
+    ekh, ekw = (kh - 1) * dh + 1, (kw - 1) * dw + 1   # effective kernel
     xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
-    oh = (h + pt + pb - kh) // sh + 1
-    ow = (wd + pl + pr - kw) // sw + 1
-    # im2col: [N, C*kH*kW, oh*ow]
-    cols = np.empty((n, c * kh * kw, oh * ow), x.dtype)
-    idx = 0
-    for i in range(kh):
-        for j in range(kw):
-            patch = xp[:, :, i:i + oh * sh:sh, j:j + ow * sw:sw]
-            cols[:, idx * c:(idx + 1) * c] = patch.reshape(n, c, -1)
-            idx += 1
-    # weights to match col layout [(kh*kw)*c, O]
-    wmat = w.transpose(2, 3, 1, 0).reshape(kh * kw * c, o)
-    out = np.einsum("nkp,ko->nop", cols, wmat, optimize=True)
+    oh = (h + pt + pb - ekh) // sh + 1
+    ow = (wd + pl + pr - ekw) // sw + 1
+    og = o // group
+    out = np.empty((n, o, oh * ow), x.dtype)
+    for gi in range(group):
+        xg = xp[:, gi * cg:(gi + 1) * cg]
+        # im2col over this group: [N, cg*kH*kW, oh*ow]
+        cols = np.empty((n, cg * kh * kw, oh * ow), x.dtype)
+        idx = 0
+        for i in range(kh):
+            for j in range(kw):
+                patch = xg[:, :, i * dh:i * dh + oh * sh:sh,
+                           j * dw:j * dw + ow * sw:sw]
+                cols[:, idx * cg:(idx + 1) * cg] = patch.reshape(n, cg, -1)
+                idx += 1
+        wg = w[gi * og:(gi + 1) * og]                     # [og, cg, kh, kw]
+        wmat = wg.transpose(2, 3, 1, 0).reshape(kh * kw * cg, og)
+        out[:, gi * og:(gi + 1) * og] = np.einsum(
+            "nkp,ko->nop", cols, wmat, optimize=True)
     if b is not None:
         out += b[None, :, None]
     return out.reshape(n, o, oh, ow)
+
+
+def _conv(x, w, b, pads, strides, dilations, group):
+    """Conv for 1D [N,C,L] or 2D [N,C,H,W] inputs (1D runs as H=1 2D)."""
+    if x.ndim == 3:
+        y = _conv2d(x[:, :, None, :], w[:, :, None, :],
+                    b, [0, pads[0], 0, pads[1]],
+                    [1, strides[0]], [1, dilations[0]], group)
+        return y[:, :, 0, :]
+    return _conv2d(x, w, b, pads, strides, dilations, group)
 
 
 def _maxpool2d(x, kernel, strides):
@@ -113,12 +131,32 @@ def run(model: Union[str, bytes, P.ParsedModel],
             y = (x[0] - mean) / np.sqrt(var + eps)
             y = y * x[1] + (x[2] if len(x) > 2 else 0.0)
         elif op == "Conv":
-            y = _conv2d(x[0], x[1], x[2] if len(x) > 2 else None,
-                        a.get("pads", [0, 0, 0, 0]),
-                        a.get("strides", [1, 1]))
+            rank = x[0].ndim - 2
+            y = _conv(x[0], x[1], x[2] if len(x) > 2 else None,
+                      a.get("pads", [0, 0] * rank),
+                      a.get("strides", [1] * rank),
+                      a.get("dilations", [1] * rank),
+                      a.get("group", 1))
         elif op == "MaxPool":
             y = _maxpool2d(x[0], a["kernel_shape"],
                            a.get("strides", a["kernel_shape"]))
+        elif op == "BatchNormalization":
+            scale, bias, mean, var = x[1], x[2], x[3], x[4]
+            eps = a.get("epsilon", 1e-5)
+            bshape = (1, -1) + (1,) * (x[0].ndim - 2)
+            y = ((x[0] - mean.reshape(bshape))
+                 / np.sqrt(var.reshape(bshape) + eps)
+                 * scale.reshape(bshape) + bias.reshape(bshape))
+        elif op == "ReduceMean":
+            axes = tuple(a["axes"])
+            y = x[0].mean(axis=axes, keepdims=bool(a.get("keepdims", 1)))
+        elif op == "Slice":
+            data, starts, ends = x[0], x[1], x[2]
+            axes = x[3] if len(x) > 3 else np.arange(len(starts))
+            sl = [slice(None)] * data.ndim
+            for s, e, ax in zip(starts, ends, axes):
+                sl[int(ax)] = slice(int(s), None if e >= 2**31 else int(e))
+            y = data[tuple(sl)]
         else:
             raise NotImplementedError(f"op '{op}' not supported by the "
                                       "built-in ONNX evaluator")

@@ -6,11 +6,14 @@ torch.onnx.export with a fixed [1, T, 96] input and a sigmoid score output).
 
 This exporter builds the ONNX graph directly from the Flax parameter tree
 (no torch, no onnx package — serialisation is onnx_proto.py). Supported
-families: the feed-forward backbones — "dnn" (Gemm/LayerNormalization
-stacks) and "cnn" (Conv/MaxPool) — plus the shared WakeWordModule head;
-these cover the default pipeline's distilled "lite"/gate students and the
-dnn/cnn zoo entries. Recurrent/attention families deploy via `.nww`
-(export/artifact.py), which streams through the jitted runtime instead.
+families: every non-recurrent, non-attention backbone — "dnn"
+(Gemm/LayerNormalization stacks), "cnn" (Conv/MaxPool), "tcn" (dilated
+causal Conv1d blocks), "quartznet" (grouped depthwise-separable Conv1d +
+BatchNormalization), "bcresnet" (depthwise-separable 2D residual blocks) —
+plus the shared WakeWordModule head; these cover the default pipeline's
+distilled "lite"/gate students and all pure-conv zoo entries.
+Recurrent/attention families deploy via `.nww` (export/artifact.py), which
+streams through the jitted runtime instead.
 
 Graph contract (matches the reference's exported model):
   input  "features" : float32 [1, T, 96]
@@ -34,7 +37,7 @@ import numpy as np
 from nanowakeword_tpu.export import onnx_proto as P
 from nanowakeword_tpu.utils.logger import print_error, print_info
 
-SUPPORTED_TYPES = ("dnn", "cnn")
+SUPPORTED_TYPES = ("dnn", "cnn", "tcn", "quartznet", "bcresnet")
 
 
 class _GraphBuilder:
@@ -95,6 +98,59 @@ class _GraphBuilder:
                 self.add("Mul", [half, x]), self.add("Add", [one, t])])
         raise ValueError(f"unsupported activation '{kind}' for ONNX export")
 
+    def conv(self, x: str, kernel_onnx: np.ndarray,
+             bias: Optional[np.ndarray], hint: str, *, pads, strides,
+             dilations=None, group: int = 1) -> str:
+        """Conv node from an already-ONNX-layout kernel [O, C/g, *k]."""
+        inputs = [x, self.init_tensor(f"{hint}_w", kernel_onnx)]
+        if bias is not None:
+            inputs.append(self.init_tensor(f"{hint}_b", bias))
+        attrs = dict(kernel_shape=list(kernel_onnx.shape[2:]),
+                     pads=list(pads), strides=list(strides), group=group)
+        if dilations is not None:
+            attrs["dilations"] = list(dilations)
+        return self.add("Conv", inputs, **attrs)
+
+    def batch_norm(self, x: str, bn_params: dict, bn_stats: dict,
+                   hint: str) -> str:
+        """Inference-mode BatchNormalization from flax params/batch_stats."""
+        inputs = [x,
+                  self.init_tensor(f"{hint}_scale", bn_params["scale"]),
+                  self.init_tensor(f"{hint}_bias", bn_params["bias"]),
+                  self.init_tensor(f"{hint}_mean", bn_stats["mean"]),
+                  self.init_tensor(f"{hint}_var", bn_stats["var"])]
+        return self.add("BatchNormalization", inputs,
+                        epsilon=1e-5)            # flax nn.BatchNorm default
+
+    def reduce_mean(self, x: str, axes, keepdims: int = 0) -> str:
+        return self.add("ReduceMean", [x], axes=list(axes),
+                        keepdims=keepdims)
+
+    def slice_last(self, x: str, axis: int) -> str:
+        """Take the final element along `axis` (keepdim)."""
+        starts = self.init_tensor("sl_starts", np.asarray([-1], np.int64))
+        ends = self.init_tensor("sl_ends",
+                                np.asarray([2**31 - 1], np.int64))
+        axes = self.init_tensor("sl_axes", np.asarray([axis], np.int64))
+        return self.add("Slice", [x, starts, ends, axes])
+
+
+def _same_pads(in_size: int, k: int, s: int) -> tuple:
+    """flax/XLA 'SAME' padding as explicit (lo, hi) for a static in_size."""
+    out = -(-in_size // s)
+    total = max((out - 1) * s + k - in_size, 0)
+    return total // 2, total - total // 2
+
+
+def _conv1d_kernel(kernel: np.ndarray) -> np.ndarray:
+    """flax [k, in/g, out] -> ONNX [out, in/g, k]."""
+    return np.transpose(kernel, (2, 1, 0))
+
+
+def _conv2d_kernel(kernel: np.ndarray) -> np.ndarray:
+    """flax [kH, kW, in/g, out] -> ONNX [out, in/g, kH, kW]."""
+    return np.transpose(kernel, (3, 2, 0, 1))
+
 
 def _dnn_backbone(g: _GraphBuilder, x: str, params: dict,
                   activation: str) -> str:
@@ -149,6 +205,130 @@ def _cnn_backbone(g: _GraphBuilder, x: str, params: dict, activation: str,
     return g.gemm(x, d1["kernel"], d1["bias"], "bb_out")
 
 
+def _tcn_backbone(g: _GraphBuilder, x: str, params: dict,
+                  config: dict) -> str:
+    """TCNModel (models/architectures.py:346-357): dilated causal
+    TemporalBlocks in NCL layout, last-timestep readout, Dense."""
+    kernel = int(config.get("tcn_kernel_size", 3))
+    x = g.add("Transpose", [x], perm=[0, 2, 1])        # [1, 96, T]
+    n_blocks = len([k for k in params if k.startswith("TemporalBlock_")])
+    for i in range(n_blocks):
+        bp = params[f"TemporalBlock_{i}"]
+        dil = 2 ** i
+        pad = (kernel - 1) * dil                       # causal: all-left pad
+        h = g.conv(x, _conv1d_kernel(bp["Conv_0"]["kernel"]),
+                   bp["Conv_0"]["bias"], f"tcn{i}_c0",
+                   pads=[pad, 0], strides=[1], dilations=[dil])
+        h = g.add("Relu", [h])
+        h = g.conv(h, _conv1d_kernel(bp["Conv_1"]["kernel"]),
+                   bp["Conv_1"]["bias"], f"tcn{i}_c1",
+                   pads=[pad, 0], strides=[1], dilations=[dil])
+        h = g.add("Relu", [h])
+        res = x
+        if "Conv_2" in bp:                             # channel-matching 1x1
+            res = g.conv(x, _conv1d_kernel(bp["Conv_2"]["kernel"]),
+                         bp["Conv_2"]["bias"], f"tcn{i}_res",
+                         pads=[0, 0], strides=[1])
+        x = g.add("Relu", [g.add("Add", [h, res])])
+    last = g.slice_last(x, axis=2)                     # [1, C, 1]
+    flat = g.add("Flatten", [last], axis=1)
+    d = params["Dense_0"]
+    return g.gemm(flat, d["kernel"], d["bias"], "tcn_out")
+
+
+def _quartznet_backbone(g: _GraphBuilder, x: str, params: dict,
+                        stats: dict) -> str:
+    """QuartzNetModel (models/architectures.py:364-396): depthwise-separable
+    1D blocks with BatchNorm + residual, mean-pool, Dense. Channel counts
+    are read from the kernels, so any quartznet_config round-trips."""
+    x = g.add("Transpose", [x], perm=[0, 2, 1])        # [1, 96, T]
+    n_blocks = len([k for k in params if k.startswith("QuartzNetBlock_")])
+    for i in range(n_blocks):
+        bp = params[f"QuartzNetBlock_{i}"]
+        bs = stats[f"QuartzNetBlock_{i}"]
+        dw = bp["Conv_0"]["kernel"]                    # [k, 1, in_ch]
+        k, in_ch = dw.shape[0], dw.shape[2]
+        lo, hi = (k - 1) // 2, k // 2                  # SAME at stride 1
+        h = g.conv(x, _conv1d_kernel(dw), bp["Conv_0"]["bias"],
+                   f"qn{i}_dw", pads=[lo, hi], strides=[1], group=in_ch)
+        h = g.conv(h, _conv1d_kernel(bp["Conv_1"]["kernel"]),
+                   bp["Conv_1"]["bias"], f"qn{i}_pw",
+                   pads=[0, 0], strides=[1])
+        h = g.batch_norm(h, bp["BatchNorm_0"], bs["BatchNorm_0"], f"qn{i}_bn")
+        res = x
+        if "Conv_2" in bp:                             # channel-change path
+            res = g.conv(x, _conv1d_kernel(bp["Conv_2"]["kernel"]),
+                         bp["Conv_2"]["bias"], f"qn{i}_res",
+                         pads=[0, 0], strides=[1])
+            res = g.batch_norm(res, bp["BatchNorm_1"], bs["BatchNorm_1"],
+                               f"qn{i}_resbn")
+        x = g.add("Relu", [g.add("Add", [h, res])])
+    pooled = g.reduce_mean(x, axes=[2])                # [1, C]
+    d = params["Dense_0"]
+    return g.gemm(pooled, d["kernel"], d["bias"], "qn_out")
+
+
+def _bcresnet_backbone(g: _GraphBuilder, x: str, params: dict, stats: dict,
+                       activation: str, input_shape) -> str:
+    """BcResNetModel (models/architectures.py:515-554): stem conv + 3
+    depthwise-separable residual blocks (strided, SAME) + global mean."""
+    t, f = int(input_shape[0]), int(input_shape[1])
+    shape4 = g.init_tensor("shape4", np.asarray([1, 1, t, f], np.int64))
+    x = g.add("Reshape", [x, shape4])                  # NCHW, C=1
+
+    def same_conv(x, kernel, hint, stride, h, w, group=1):
+        kh, kw = kernel.shape[2], kernel.shape[3]
+        pt, pb = _same_pads(h, kh, stride[0])
+        pl, pr = _same_pads(w, kw, stride[1])
+        return g.conv(x, kernel, None, hint,
+                      pads=[pt, pl, pb, pr], strides=list(stride),
+                      group=group)
+
+    h_sz, w_sz = t, f
+    x = same_conv(x, _conv2d_kernel(params["Conv_0"]["kernel"]),
+                  "bc_stem", (1, 1), h_sz, w_sz)
+    x = g.batch_norm(x, params["BatchNorm_0"], stats["BatchNorm_0"],
+                     "bc_stem_bn")
+    x = g.activation(x, activation)
+    x = g.add("MaxPool", [x], kernel_shape=[2, 2], strides=[2, 2])
+    h_sz, w_sz = h_sz // 2, w_sz // 2
+
+    n_blocks = len([k for k in params if k.startswith("BcResNetBlock_")])
+    for i in range(n_blocks):
+        bp = params[f"BcResNetBlock_{i}"]
+        bs = stats[f"BcResNetBlock_{i}"]
+        has_short = "Conv_2" in bp                     # shortcut declared 1st
+        if has_short:
+            short_p, dw_p, pw_p = bp["Conv_0"], bp["Conv_1"], bp["Conv_2"]
+            short_bn, main_bn = "BatchNorm_0", "BatchNorm_1"
+        else:
+            dw_p, pw_p = bp["Conv_0"], bp["Conv_1"]
+            main_bn = "BatchNorm_0"
+        dw_k = _conv2d_kernel(dw_p["kernel"])          # [in, 1, 3, 3]
+        in_ch = dw_k.shape[0]
+        # stride is architectural: blocks 1/2 are (2,2), block 3 (2,1)
+        # (models/architectures.py:548-550)
+        stride = [(2, 2), (2, 2), (2, 1)][i] if n_blocks == 3 else (1, 1)
+        short = x
+        if has_short:
+            short = same_conv(x, _conv2d_kernel(short_p["kernel"]),
+                              f"bc{i}_short", stride, h_sz, w_sz)
+            short = g.batch_norm(short, bp[short_bn], bs[short_bn],
+                                 f"bc{i}_short_bn")
+        h = same_conv(x, dw_k, f"bc{i}_dw", stride, h_sz, w_sz,
+                      group=in_ch)
+        h = g.conv(h, _conv2d_kernel(pw_p["kernel"]), None, f"bc{i}_pw",
+                   pads=[0, 0, 0, 0], strides=[1, 1])
+        h = g.batch_norm(h, bp[main_bn], bs[main_bn], f"bc{i}_bn")
+        h = g.activation(h, activation)
+        x = g.add("Add", [h, short])
+        h_sz = -(-h_sz // stride[0])
+        w_sz = -(-w_sz // stride[1])
+    pooled = g.reduce_mean(x, axes=[2, 3])             # [1, C]
+    d = params["Dense_0"]
+    return g.gemm(pooled, d["kernel"], d["bias"], "bc_out")
+
+
 def build_onnx(model, input_shape=None) -> bytes:
     """A Model (models/model.py) -> serialized ONNX ModelProto bytes."""
     model_type = model.model_type
@@ -160,14 +340,25 @@ def build_onnx(model, input_shape=None) -> bytes:
     input_shape = tuple(input_shape or model.input_shape)
     activation = str(model.config.get("activation_function", "relu"))
     params = {k: jax_to_np(v) for k, v in model.params.items()}
+    stats = {k: jax_to_np(v)
+             for k, v in model.variables.get("batch_stats", {}).items()}
 
     g = _GraphBuilder()
     x = "features"
     if model_type == "dnn":
         emb = _dnn_backbone(g, x, params["backbone"], activation)
-    else:
+    elif model_type == "cnn":
         emb = _cnn_backbone(g, x, params["backbone"], activation,
                             input_shape)
+    elif model_type == "tcn":
+        emb = _tcn_backbone(g, x, params["backbone"], model.config)
+    elif model_type == "quartznet":
+        emb = _quartznet_backbone(g, x, params["backbone"],
+                                  stats.get("backbone", {}))
+    else:
+        emb = _bcresnet_backbone(g, x, params["backbone"],
+                                 stats.get("backbone", {}), activation,
+                                 input_shape)
 
     # shared head (models/model.py:152-175): Dense -> act -> Dense -> sigmoid
     h = g.gemm(emb, params["Dense_0"]["kernel"], params["Dense_0"]["bias"],

@@ -28,18 +28,70 @@ def _score_jax(model, feats):
     return 1.0 / (1.0 + np.exp(-logits))
 
 
+def _randomize_batch_stats(model, seed=7):
+    """Give BatchNorm layers non-trivial running stats so an exporter that
+    mishandles mean/var cannot pass by accident (fresh init is 0/1)."""
+    import jax
+    variables = dict(model.variables)
+    if "batch_stats" not in variables:
+        return model
+    rng = np.random.default_rng(seed)
+
+    def perturb(leaf):
+        a = np.asarray(leaf)
+        if a.size == 0:
+            return leaf
+        return np.abs(rng.normal(0.5, 0.3, a.shape)).astype(a.dtype) + 0.1
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        perturb, variables["batch_stats"])
+    model.load_variables(variables)
+    return model
+
+
 @pytest.mark.parametrize("model_type,activation", [
     ("dnn", "relu"), ("dnn", "gelu"), ("dnn", "silu"),
     ("cnn", "relu"), ("cnn", "gelu"),
+    ("tcn", "relu"), ("quartznet", "relu"),
+    ("bcresnet", "relu"), ("bcresnet", "silu"),
 ])
 def test_score_parity_with_live_model(model_type, activation):
-    model = _model(model_type, activation)
+    model = _randomize_batch_stats(_model(model_type, activation))
     data = build_onnx(model)
     feats = np.random.default_rng(0).normal(
         size=(1, 16, 96)).astype(np.float32)
     got = onnx_eval.run(data, {"features": feats})["score"]
     want = _score_jax(model, feats)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tcn_custom_kernel_and_channels():
+    """Non-default TCN geometry (kernel 5, widening channels incl. a
+    channel-preserving block with no residual conv) round-trips."""
+    config = {"activation_function": "relu", "embedding_dim": 16,
+              "tcn_channels": [32, 32, 48], "tcn_kernel_size": 5}
+    model = Model(config=config, model_name="onnx_tcn", input_shape=(16, 96),
+                  model_type="tcn", layer_dim=24, n_blocks=2,
+                  dropout_prob=0.0)
+    data = build_onnx(model)
+    feats = np.random.default_rng(4).normal(
+        size=(1, 16, 96)).astype(np.float32)
+    got = onnx_eval.run(data, {"features": feats})["score"]
+    np.testing.assert_allclose(got, _score_jax(model, feats), atol=1e-5)
+
+
+def test_quartznet_custom_config():
+    """Multi-rep quartznet_config with a channel change mid-stack."""
+    config = {"activation_function": "relu", "embedding_dim": 16,
+              "quartznet_config": [[64, 9, 2], [96, 13, 1]]}
+    model = Model(config=config, model_name="onnx_qn", input_shape=(16, 96),
+                  model_type="quartznet", layer_dim=24, n_blocks=2,
+                  dropout_prob=0.0)
+    model = _randomize_batch_stats(model)
+    data = build_onnx(model)
+    feats = np.random.default_rng(5).normal(
+        size=(1, 16, 96)).astype(np.float32)
+    got = onnx_eval.run(data, {"features": feats})["score"]
+    np.testing.assert_allclose(got, _score_jax(model, feats), atol=1e-5)
 
 
 def test_file_roundtrip_and_structure(tmp_path):
