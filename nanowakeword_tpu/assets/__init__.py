@@ -14,9 +14,17 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 # Pretrained SpeechEmbeddingEncoder variables (flax msgpack) + JSON sidecar
 # with the training recipe/eval metadata. Produced by
 # `python -m nanowakeword_tpu.train.pretrain_encoder`.
+# v1: 256-word corpus, colored noise only.
+# v2: 512-word corpus + babble noise + synthetic-RIR reverb, evaluated on
+#     unseen words AND confusable minimal pairs (the harder transfer bar).
 SPEECH_ENCODER_V1 = os.path.join(_DIR, "speech_encoder_v1.msgpack")
+SPEECH_ENCODER_V2 = os.path.join(_DIR, "speech_encoder_v2.msgpack")
+DEFAULT_SPEECH_ENCODER = SPEECH_ENCODER_V2
 
 
 def speech_encoder_asset_path():
-    """Path to the bundled pretrained encoder, or None if not present."""
-    return SPEECH_ENCODER_V1 if os.path.exists(SPEECH_ENCODER_V1) else None
+    """Path to the newest bundled pretrained encoder, or None."""
+    for path in (SPEECH_ENCODER_V2, SPEECH_ENCODER_V1):
+        if os.path.exists(path):
+            return path
+    return None

@@ -52,6 +52,18 @@ _FRICATIVE_BANDS = {
     "CH": (2000, 6000), "JH": (1500, 5000),
 }
 _STOPS = {"P", "B", "T", "D", "K", "G"}
+# Place-of-articulation burst spectra + voicing (classic stop acoustics:
+# bilabials burst low, alveolars high, velars compact mid; voiced stops get
+# a low-frequency voiced bar through the closure and a short VOT, voiceless
+# ones a silent closure and an aspiration tail). Without these cues every
+# stop rendered as the same (800, 6000) burst and minimal pairs like K/G or
+# T/K were acoustically IDENTICAL (corr 1.0000) — unlearnable for the
+# encoder and unanswerable for the confusable-pair eval.
+_STOP_SPECS = {
+    "P": ((400, 1800), False), "B": ((400, 1800), True),
+    "T": ((3000, 7000), False), "D": ((3000, 7000), True),
+    "K": ((1400, 3200), False), "G": ((1400, 3200), True),
+}
 _NASALS = {"M": 250, "N": 300, "NG": 280}
 _APPROX = {"L": (360, 1300, 2700), "R": (310, 1060, 1380),
            "W": (290, 610, 2150), "Y": (270, 2100, 3000)}
@@ -101,9 +113,21 @@ def formant_synthesize(text: str, length_scale: float = 1.0,
             elif phone in _FRICATIVE_BANDS:
                 seg = _noise_band(_FRICATIVE_BANDS[phone], dur, rng) * 0.5
             elif phone in _STOPS:
-                gap = np.zeros(int(0.03 * SR))
-                burst = _noise_band((800, 6000), 0.02, rng)
-                seg = np.concatenate([gap, burst])
+                band, voiced = _STOP_SPECS[phone]
+                gap_n = int(0.03 * SR)
+                if voiced:
+                    # voiced bar through the closure, short VOT, softer burst
+                    tt = np.arange(gap_n) / SR
+                    gap = 0.10 * np.sin(2 * np.pi * f0 * tt) \
+                        * np.linspace(0.4, 1.0, gap_n)
+                    burst = _noise_band(band, 0.015, rng) * 0.8
+                    seg = np.concatenate([gap, burst])
+                else:
+                    # silent closure, burst, then aspiration (long VOT)
+                    gap = np.zeros(gap_n)
+                    burst = _noise_band(band, 0.015, rng)
+                    asp = _noise_band((700, 6000), 0.04, rng) * 0.3
+                    seg = np.concatenate([gap, burst, asp])
             elif phone in _NASALS:
                 seg = _formant_vowel((_NASALS[phone], 1200, 2400),
                                      dur, f0, rng) * 0.5

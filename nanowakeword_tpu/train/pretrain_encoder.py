@@ -18,7 +18,7 @@ pretraining (nearest-centroid identification), which is the property the
 bundled asset must have: useful features for arbitrary wake words.
 
 The result is saved as the registry's default asset
-(`nanowakeword_tpu/assets/speech_encoder_v1.msgpack`); AudioFeatures and the
+(`nanowakeword_tpu/assets/speech_encoder_v2.msgpack`); AudioFeatures and the
 training pipeline pick it up automatically (data/features.py).
 
 Run: python -m nanowakeword_tpu.train.pretrain_encoder --out <path>
@@ -47,7 +47,7 @@ SR = 16000
 
 ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "assets")
-DEFAULT_ASSET = os.path.join(ASSET_DIR, "speech_encoder_v1.msgpack")
+DEFAULT_ASSET = os.path.join(ASSET_DIR, "speech_encoder_v2.msgpack")
 
 # Phone inventory for pseudo-word sampling (onsets/nuclei/codas the formant
 # synthesizer renders distinctly).
@@ -59,13 +59,16 @@ _CODAS = ["", "N", "M", "NG", "S", "T", "K", "L", "R", "SH", "Z", "D"]
 
 
 class PretrainConfig(NamedTuple):
-    vocab_size: int = 256
+    vocab_size: int = 512
+    confusable_fraction: float = 0.5   # fraction of vocab that is a
+                                       # minimal-pair twin of another word
     variants_per_word: int = 24    # train variants (distinct "speakers")
     heldout_variants: int = 4      # extra variants held out for eval
     clip_samples: int = 24000      # 1.5 s
-    noise_clips: int = 192
-    batch_size: int = 512
-    steps: int = 3000
+    noise_clips: int = 240
+    rir_clips: int = 64
+    batch_size: int = 256
+    steps: int = 4000
     peak_lr: float = 2e-3
     weight_decay: float = 1e-4
     warmup_frac: float = 0.05
@@ -111,6 +114,50 @@ def sample_vocab(n_words: int, seed: int = 10,
     return words
 
 
+def sample_training_vocab(vocab_size: int, seed: int = 10,
+                          confusable_fraction: float = 0.5) -> List[str]:
+    """Training vocabulary with built-in minimal pairs.
+
+    A word-classification proxy over random words teaches coarse phonetic
+    separation but saturates before fine discrimination (measured: the
+    confusable-pair transfer metric stalls at ~0.73 with a plain 512-word
+    vocab). Seeding the vocab with confusable TWINS — for half the base
+    words, a second class differing by exactly one confusable phone — makes
+    the classifier's job require exactly the property the downstream
+    wake-word model needs: telling the wake word from its nearest phonetic
+    neighbour (the reference generates such negatives as training DATA;
+    here they shape the embedding itself).
+    """
+    import random
+
+    from nanowakeword_tpu.data.generator.g2p import (CONFUSABLE,
+                                                     phones_to_word,
+                                                     word_to_phones)
+    n_twins = int(vocab_size * confusable_fraction / (1 + confusable_fraction)
+                  ) if confusable_fraction > 0 else 0
+    n_base = vocab_size - n_twins
+    base = sample_vocab(n_base, seed=seed)
+    rng = random.Random(seed + 13)
+    seen = {tuple(word_to_phones(w)) for w in base}
+    twins: List[str] = []
+    for word in base:
+        if len(twins) >= n_twins:
+            break
+        phones = word_to_phones(word)
+        positions = [i for i, p in enumerate(phones) if p in CONFUSABLE]
+        rng.shuffle(positions)
+        for pos in positions:
+            alt = list(phones)
+            alt[pos] = rng.choice(CONFUSABLE[phones[pos]])
+            twin = phones_to_word(alt)
+            key = tuple(word_to_phones(twin))
+            if twin != word and key not in seen and len(key) >= 3:
+                seen.add(key)
+                twins.append(twin)
+                break
+    return base + twins
+
+
 def synthesize_word_variants(word: str, n_variants: int, clip_samples: int,
                              seed: int) -> np.ndarray:
     """[n_variants, clip_samples] int16 clips of one word, varied speakers."""
@@ -133,13 +180,20 @@ def synthesize_word_variants(word: str, n_variants: int, clip_samples: int,
 
 def make_noise_pool(n_clips: int, clip_samples: int,
                     seed: int = 10) -> np.ndarray:
-    """[n, clip_samples] int16 colored/babble noise for SNR mixing."""
+    """[n, clip_samples] int16 colored/babble noise for SNR mixing.
+
+    Five kinds cycle: broadband, low-pass rumble, band-passed hiss,
+    amplitude-modulated bursts, and BABBLE — overlapping speech from the
+    same formant synthesizer, the hardest distractor for a speech encoder
+    (it must separate the foreground word from speech-shaped interference,
+    not just from stationary noise)."""
     from scipy.signal import butter, lfilter
 
     rng = np.random.default_rng(seed)
     out = np.zeros((n_clips, clip_samples), np.int16)
+    babble_words = None
     for i in range(n_clips):
-        kind = i % 4
+        kind = i % 5
         white = rng.standard_normal(clip_samples)
         if kind == 0:                         # broadband
             noise = white
@@ -152,16 +206,53 @@ def make_noise_pool(n_clips: int, clip_samples: int,
             b, a = butter(2, [lo / (SR / 2), min(hi, 7800) / (SR / 2)],
                           btype="band")
             noise = lfilter(b, a, white)
-        else:                                 # amplitude-modulated bursts
+        elif kind == 3:                       # amplitude-modulated bursts
             env = np.clip(np.sin(2 * np.pi * rng.uniform(0.5, 4.0)
                                  * np.arange(clip_samples) / SR)
                           + rng.uniform(-0.3, 0.7), 0, None)
             b, a = butter(2, rng.uniform(1000, 6000) / (SR / 2), btype="low")
             noise = lfilter(b, a, white) * env
+        else:                                 # babble (overlapped speech)
+            from nanowakeword_tpu.data.generator.tts import formant_synthesize
+            if babble_words is None:
+                babble_words = sample_vocab(16, seed=seed + 555)
+            noise = np.zeros(clip_samples)
+            for j in range(rng.integers(3, 6)):
+                w = babble_words[rng.integers(len(babble_words))]
+                talk = formant_synthesize(
+                    w, length_scale=rng.uniform(0.9, 1.2),
+                    noise_scale=rng.uniform(0.3, 0.7),
+                    f0=rng.uniform(90.0, 220.0),
+                    seed=int(seed * 31 + i * 97 + j))
+                off = rng.integers(0, max(clip_samples - len(talk), 1))
+                seg = talk[:clip_samples - off]
+                noise[off:off + len(seg)] += seg * rng.uniform(0.4, 1.0)
         peak = np.abs(noise).max()
         if peak > 0:
             noise = noise / peak * rng.uniform(0.3, 0.9)
         out[i] = (noise * 32767.0).astype(np.int16)
+    return out
+
+
+def make_rir_pool(n_rirs: int, rir_len: int = 2400,
+                  seed: int = 10) -> np.ndarray:
+    """[n, rir_len] float32 synthetic room impulse responses.
+
+    Direct path + exponentially decaying noise tail (image-method shape),
+    random decay time 40-150 ms and direct-to-reverberant ratio — enough
+    reverb diversity to make the embedding robust to rooms without real RIR
+    recordings (none are available offline)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(rir_len) / SR
+    out = np.zeros((n_rirs, rir_len), np.float32)
+    for i in range(n_rirs):
+        rt = rng.uniform(0.04, 0.15)          # tail decay constant (s)
+        tail = rng.standard_normal(rir_len) * np.exp(-3.0 * t / rt)
+        tail[0] = 0.0
+        drr = rng.uniform(1.5, 6.0)           # direct-to-reverb amplitude
+        rir = tail / max(np.abs(tail).max(), 1e-9)
+        rir[0] = drr
+        out[i] = (rir / np.abs(rir).max()).astype(np.float32)
     return out
 
 
@@ -176,13 +267,15 @@ def build_corpus(config: PretrainConfig,
     """
     if cache_path and os.path.exists(cache_path):
         data = dict(np.load(cache_path, allow_pickle=True))
-        if (int(data["clips"].shape[0])
+        if ("rirs" in data and int(data["clips"].shape[0])
                 == config.vocab_size * config.variants_per_word):
             if verbose:
                 print_info(f"Loaded pretraining corpus from {cache_path}")
             return data
 
-    words = sample_vocab(config.vocab_size, seed=config.seed)
+    words = sample_training_vocab(
+        config.vocab_size, seed=config.seed,
+        confusable_fraction=config.confusable_fraction)
     n_total = config.variants_per_word + config.heldout_variants
     clips, labels, ho_clips, ho_labels = [], [], [], []
     t0 = time.time()
@@ -203,6 +296,7 @@ def build_corpus(config: PretrainConfig,
         "heldout_labels": np.asarray(ho_labels, np.int32),
         "noise": make_noise_pool(config.noise_clips, config.clip_samples,
                                  seed=config.seed + 77),
+        "rirs": make_rir_pool(config.rir_clips, seed=config.seed + 177),
         "words": np.asarray(words, object),
     }
     if cache_path:
@@ -243,7 +337,7 @@ def extract_encoder_variables(pretrain_variables) -> dict:
 
 def _pretrain_augment_params() -> AugmentParams:
     return AugmentParams(
-        rir_prob=0.0, gain_prob=0.5, pitch_prob=0.3,
+        rir_prob=0.25, gain_prob=0.5, pitch_prob=0.3,
         min_pitch=-1.5, max_pitch=1.5,
         min_snr=3.0, max_snr=25.0,
         min_gain=-6.0, max_gain=6.0,
@@ -268,6 +362,9 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
     clips = jnp.asarray(corpus["clips"])          # [N, L] int16, on device
     labels = jnp.asarray(corpus["labels"])        # [N] int32
     noise = jnp.asarray(corpus["noise"])          # [M, L] int16
+    rirs = jnp.asarray(corpus.get(
+        "rirs", np.zeros((1, 1), np.float32)))    # [R, len] float32
+    use_rir = "rirs" in corpus and corpus["rirs"].shape[-1] > 1
     n_clips, clip_len = clips.shape
     vocab = int(labels.max()) + 1
 
@@ -283,24 +380,28 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
                      optax.adamw(schedule, weight_decay=config.weight_decay))
     opt_state = tx.init(params)
     aug_params = _pretrain_augment_params()
+    if not use_rir:
+        aug_params = aug_params._replace(rir_prob=0.0)
 
     # corpus arrays are passed as jit ARGS, never closed over: closure-
     # captured device arrays become graph constants and the whole 350 MB
     # corpus would be shipped inside the compile request
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, key, clips, labels, noise):
-        k_idx, k_noise, k_aug = jax.random.split(key, 3)
+    def step(params, opt_state, key, clips, labels, noise, rirs):
+        k_idx, k_noise, k_rir, k_aug = jax.random.split(key, 4)
         idx = jax.random.randint(k_idx, (config.batch_size,), 0, n_clips)
         nidx = jax.random.randint(k_noise, (config.batch_size,), 0,
                                   noise.shape[0])
+        ridx = jax.random.randint(k_rir, (config.batch_size,), 0,
+                                  rirs.shape[0])
         fg = jnp.take(clips, idx, axis=0)
         bg = jnp.take(noise, nidx, axis=0)
+        rir = jnp.take(rirs, ridx, axis=0)
         y = jnp.take(labels, idx, axis=0)
         fg_lens = jnp.full((config.batch_size,), clip_len, jnp.int32)
         flags = jnp.ones((config.batch_size,), bool)
-        audio = augment_batch(k_aug, fg, bg,
-                              jnp.zeros((config.batch_size, 1), jnp.float32),
-                              fg_lens, flags, jnp.zeros_like(flags),
+        audio = augment_batch(k_aug, fg, bg, rir,
+                              fg_lens, flags, flags,
                               aug_params).astype(jnp.float32)
 
         def loss_fn(p):
@@ -321,7 +422,7 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
     for i in range(config.steps):
         key, sub = jax.random.split(key)
         params, opt_state, metrics = step(params, opt_state, sub,
-                                          clips, labels, noise)
+                                          clips, labels, noise, rirs)
         if verbose and ((i + 1) % log_every == 0 or i + 1 == config.steps):
             m = np.asarray(metrics)   # device fetch = the only sync point
             print_info(f"  pretrain step {i + 1}/{config.steps} "
@@ -395,6 +496,81 @@ def centroid_word_accuracy(encoder_variables, words: Sequence[str],
     return float((pred == truth).mean())
 
 
+def make_confusable_pairs(n_pairs: int, seed: int = 9002,
+                          exclude: Sequence[str] = ()) -> List[Tuple[str, str]]:
+    """Sample word pairs that differ by ONE acoustically-confusable phone.
+
+    Uses the adversarial generator's confusability map (g2p.CONFUSABLE, the
+    same groups the phoneme-adversarial negatives are built from): each pair
+    is a minimal pair a wake-word model must discriminate — e.g. the
+    difference between the wake word and its hardest false-alarm trigger."""
+    import random
+
+    from nanowakeword_tpu.data.generator.g2p import (CONFUSABLE,
+                                                     phones_to_word,
+                                                     word_to_phones)
+    rng = random.Random(seed)
+    base_words = sample_vocab(n_pairs * 3, seed=seed, exclude=exclude)
+    pairs: List[Tuple[str, str]] = []
+    for word in base_words:
+        if len(pairs) >= n_pairs:
+            break
+        phones = word_to_phones(word)
+        positions = [i for i, p in enumerate(phones) if p in CONFUSABLE]
+        rng.shuffle(positions)
+        for pos in positions:
+            alt = list(phones)
+            alt[pos] = rng.choice(CONFUSABLE[phones[pos]])
+            twin = phones_to_word(alt)
+            # the twin must round-trip to different phones than the original
+            # (same spelling or same read-back == same acoustic class)
+            if twin != word and word_to_phones(twin) != phones:
+                pairs.append((word, twin))
+                break
+    return pairs
+
+
+def confusable_pair_accuracy(encoder_variables,
+                             pairs: Sequence[Tuple[str, str]],
+                             n_enroll: int = 3, n_test: int = 3,
+                             clip_samples: int = 24000,
+                             seed: int = 9003) -> float:
+    """Transfer metric #2 (the HARD one): two-way discrimination of unseen
+    minimal pairs differing by a single confusable phone.
+
+    For each pair, both words are enrolled by centroid and each test clip is
+    classified between the TWO centroids only. Chance = 0.5; whole-word
+    centroid identification (centroid_word_accuracy) saturates long before
+    this does, because here every distractor is maximally close."""
+    encoder = SpeechEmbeddingEncoder()
+
+    @jax.jit
+    def embed(audio):
+        from nanowakeword_tpu.data.features import EMB_OFFSET
+        mel = melops.mel_frontend(audio, compute_dtype=jnp.bfloat16)
+        emb = encoder.apply(encoder_variables, mel[:, EMB_OFFSET:])
+        return emb.mean(axis=1)
+
+    n_var = n_enroll + n_test
+    words = [w for pair in pairs for w in pair]
+    all_clips = np.concatenate([
+        synthesize_word_variants(w, n_var, clip_samples, seed=seed + 37 * i)
+        for i, w in enumerate(words)]).astype(np.float32)
+    vecs = np.array(embed(jnp.asarray(all_clips)))
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=-1, keepdims=True), 1e-8)
+    vecs = vecs.reshape(len(pairs), 2, n_var, EMBEDDING_DIM)
+
+    centroids = vecs[:, :, :n_enroll].mean(axis=2)       # [P, 2, E]
+    centroids /= np.maximum(
+        np.linalg.norm(centroids, axis=-1, keepdims=True), 1e-8)
+    test = vecs[:, :, n_enroll:]                         # [P, 2, n_test, E]
+    # cosine of each test clip against both centroids of ITS pair
+    sims = np.einsum("pwte,pce->pwtc", test, centroids)  # [P, 2, n_test, 2]
+    pred = sims.argmax(axis=-1)
+    truth = np.broadcast_to(np.arange(2)[None, :, None], pred.shape)
+    return float((pred == truth).mean())
+
+
 def save_encoder_asset(encoder_variables, path: str = DEFAULT_ASSET,
                        meta: Optional[dict] = None) -> str:
     """Serialize encoder variables (+ JSON sidecar) as a registry asset."""
@@ -409,14 +585,48 @@ def save_encoder_asset(encoder_variables, path: str = DEFAULT_ASSET,
     return path
 
 
+def evaluate_transfer(enc_vars, train_words: Sequence[str],
+                      n_words: int = 24, n_pairs: int = 24,
+                      with_random_baseline: bool = True,
+                      verbose: bool = True) -> dict:
+    """The full transfer report: unseen-word centroid identification plus
+    confusable minimal-pair discrimination, each against a random-init
+    encoder baseline (the quality gates tests/test_pretrained_encoder.py
+    enforces on the shipped asset)."""
+    transfer_words = sample_vocab(n_words, seed=424242, exclude=train_words)
+    pairs = make_confusable_pairs(n_pairs, seed=515151, exclude=train_words)
+    report = {
+        "unseen_word_centroid_acc":
+            centroid_word_accuracy(enc_vars, transfer_words),
+        "confusable_pair_acc":
+            confusable_pair_accuracy(enc_vars, pairs),
+        "n_transfer_words": len(transfer_words),
+        "n_confusable_pairs": len(pairs),
+    }
+    if with_random_baseline:
+        from nanowakeword_tpu.models.embedding import EMB_WINDOW
+        rand = SpeechEmbeddingEncoder().init(
+            jax.random.PRNGKey(10), jnp.zeros((1, EMB_WINDOW, 32)))
+        report["random_encoder_centroid_acc"] = centroid_word_accuracy(
+            rand, transfer_words)
+        report["random_encoder_pair_acc"] = confusable_pair_accuracy(
+            rand, pairs)
+    if verbose:
+        print_info("Transfer eval: " + json.dumps(
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in report.items()}))
+    return report
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     import argparse
     p = argparse.ArgumentParser(description="Pretrain the speech encoder")
     p.add_argument("--out", default=DEFAULT_ASSET)
-    p.add_argument("--steps", type=int, default=3000)
-    p.add_argument("--vocab", type=int, default=256)
-    p.add_argument("--variants", type=int, default=24)
-    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--steps", type=int, default=PretrainConfig().steps)
+    p.add_argument("--vocab", type=int, default=PretrainConfig().vocab_size)
+    p.add_argument("--variants", type=int,
+                   default=PretrainConfig().variants_per_word)
+    p.add_argument("--batch", type=int, default=PretrainConfig().batch_size)
     p.add_argument("--cache", default=None,
                    help="corpus .npz cache path (skips re-synthesis)")
     args = p.parse_args(argv)
@@ -428,11 +638,13 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     train_words = [str(w) for w in build_corpus(
         config, cache_path=args.cache, verbose=False)["words"]]
-    transfer_words = sample_vocab(24, seed=424242, exclude=train_words)
-    report["unseen_word_centroid_acc"] = centroid_word_accuracy(
-        enc_vars, transfer_words)
-    print_info(f"Transfer (unseen-word centroid) accuracy: "
-               f"{report['unseen_word_centroid_acc']:.3f}")
+    report.update(evaluate_transfer(enc_vars, train_words))
+    report["recipe"] = (
+        f"word-classification proxy on {config.vocab_size} synthetic formant "
+        f"pseudo-words ({config.confusable_fraction:.0%} confusable "
+        f"minimal-pair twins) x {config.variants_per_word} speakers; SNR "
+        "3-25dB colored+babble noise, synthetic-RIR reverb p=0.25, pitch "
+        "+-1.5st, gain +-6dB; adamw warmup-cosine")
     save_encoder_asset(enc_vars, args.out, meta=report)
 
 

@@ -1,11 +1,14 @@
 """Bundled pretrained encoder: asset integrity + transfer quality.
 
 VERDICT round 1, missing #2: the registry must ship TRAINED encoder weights
-with "a quality test that would fail with a random encoder". The transfer
-metric is nearest-centroid identification of words NEVER seen in
-pretraining, across different synthetic speakers — the property a wake-word
-frontend needs (the full-size eval on 24 words: trained 1.00 vs random
-0.375; see nanowakeword_tpu/assets/speech_encoder_v1.msgpack.json).
+with "a quality test that would fail with a random encoder". Two transfer
+metrics, both on words NEVER seen in pretraining, across different
+synthetic speakers:
+  * nearest-centroid identification of 24 unseen words (trained ~1.0 vs
+    random ~0.375), and
+  * the HARD bar — two-way discrimination of minimal pairs differing by a
+    single confusable phone (chance 0.5, random encoder ~0.49); see
+    nanowakeword_tpu/assets/speech_encoder_v2.msgpack.json.
 """
 
 import json
@@ -14,8 +17,7 @@ import os
 import numpy as np
 import pytest
 
-from nanowakeword_tpu.assets import (SPEECH_ENCODER_V1,
-                                     speech_encoder_asset_path)
+from nanowakeword_tpu.assets import speech_encoder_asset_path
 from nanowakeword_tpu.data.features import (_default_encoder_variables,
                                             default_encoder_variables,
                                             pretrained_encoder_variables)
@@ -28,13 +30,18 @@ TRANSFER_WORDS = sample_vocab(8, seed=424242)
 
 
 def test_asset_is_bundled_with_metadata():
-    assert speech_encoder_asset_path() is not None, \
+    path = speech_encoder_asset_path()
+    assert path is not None, \
         "pretrained encoder asset missing from nanowakeword_tpu/assets"
-    meta = json.load(open(SPEECH_ENCODER_V1 + ".json"))
+    meta = json.load(open(path + ".json"))
     assert meta["heldout_variant_acc"] > 0.9
     assert meta["unseen_word_centroid_acc"] > 0.9
     assert meta["unseen_word_centroid_acc"] > \
         meta["random_encoder_centroid_acc"] + 0.3
+    # the hard transfer bar: unseen minimal-pair discrimination must beat
+    # the random encoder (which sits at chance) by a wide margin
+    assert meta["confusable_pair_acc"] > \
+        meta["random_encoder_pair_acc"] + 0.2
     assert "recipe" in meta
 
 
@@ -69,10 +76,21 @@ def test_transfer_quality_beats_random_encoder():
         f"trained {trained} not materially better than random {rand}"
 
 
+def test_confusable_pair_discrimination():
+    """The hard transfer bar, sampled small for CI: unseen minimal pairs
+    (one confusable phone apart) must be separable from the embeddings."""
+    from nanowakeword_tpu.train.pretrain_encoder import (
+        confusable_pair_accuracy, make_confusable_pairs)
+    pairs = make_confusable_pairs(6, seed=616161)
+    acc = confusable_pair_accuracy(pretrained_encoder_variables(), pairs,
+                                   n_enroll=3, n_test=2, seed=808)
+    assert acc >= 0.6, f"confusable-pair discrimination {acc} < 0.6"
+
+
 def test_registry_serves_the_bundled_asset():
     from nanowakeword_tpu.interpreter.models import ModelRegistry
     reg = ModelRegistry(cache_dir="/tmp/nww_test_registry_cache")
-    assert reg.speech_encoder == SPEECH_ENCODER_V1
+    assert reg.speech_encoder == speech_encoder_asset_path()
     variables = reg.load_speech_encoder_variables()
     import jax
     got = jax.tree_util.tree_leaves(variables)
