@@ -203,10 +203,46 @@ def _run_server(args):
           data_parallel=args.data_parallel)
 
 
+def _run_info_onnx(model_path: str):
+    """Model info for exported .onnx files (the reference's --info target),
+    read with the bundled protobuf parser — no onnx/onnxruntime needed."""
+    import numpy as np
+
+    from nanowakeword_tpu.export import onnx_proto as P
+
+    parsed = P.load_model(model_path)
+    g = parsed.graph
+    n_params = int(sum(np.prod(a.shape) for a in g.initializers.values()
+                       if a.dtype == np.float32))
+    size_kb = os.path.getsize(model_path) / 1024
+    name = os.path.splitext(os.path.basename(model_path))[0]
+    ops = sorted({nd.op_type for nd in g.nodes})
+
+    print(f"\n  Model         {name}")
+    print(f"  Path          {model_path}")
+    print(f"  Type          "
+          f"{'lite / gate model' if name.endswith('_lite') else 'full / verifier model'}")
+    print(f"  File size     {size_kb:.1f} KB")
+    print(f"  Parameters    {n_params:,}")
+    print(f"  Format        ONNX (opset {parsed.opsets.get('', '?')}, "
+          f"ir {parsed.ir_version}, producer {parsed.producer})")
+    print(f"  Graph         {len(g.nodes)} nodes: {', '.join(ops)}")
+    print(f"\n  Inputs")
+    for vi in g.inputs:
+        print(f"    {vi.name:<20} shape={vi.shape}")
+    print(f"\n  Outputs")
+    for vi in g.outputs:
+        print(f"    {vi.name:<20} shape={vi.shape}  (sigmoid probability)")
+    print()
+
+
 def _run_info(model_path: str):
     if not os.path.exists(model_path):
         print(f"Error: model not found at '{model_path}'")
         sys.exit(1)
+    if model_path.endswith(".onnx"):
+        _run_info_onnx(model_path)
+        return
 
     from nanowakeword_tpu.export.artifact import read_nww_header
 

@@ -63,6 +63,21 @@ class TestInfo:
         with pytest.raises(SystemExit):
             cli._run_info(str(tmp_path / "missing.nww"))
 
+    def test_info_reads_exported_onnx(self, tmp_path, capsys):
+        """--info works on .onnx exports (the reference's --info target),
+        via the bundled parser — no onnxruntime required."""
+        from nanowakeword_tpu.export.onnx_export import export_onnx
+        from nanowakeword_tpu.models.model import Model
+        cfg = {"activation_function": "relu", "embedding_dim": 16}
+        m = Model(config=cfg, model_name="info_onnx", input_shape=(16, 96),
+                  model_type="dnn", layer_dim=16, n_blocks=1)
+        path = export_onnx(m, str(tmp_path / "info_onnx.onnx"))
+        cli._run_info(path)
+        out = capsys.readouterr().out
+        assert "ONNX (opset 17" in out
+        assert "features" in out and "score" in out
+        assert "Gemm" in out
+
 
 class TestMainRouting:
     def test_no_args_prints_help_and_exits(self, monkeypatch, capsys):
