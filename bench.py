@@ -24,10 +24,11 @@ def build_forward():
     import jax
     import jax.numpy as jnp
 
-    from nanowakeword_tpu.data.features import EMB_OFFSET
-    from nanowakeword_tpu.models.embedding import SpeechEmbeddingEncoder
+    from nanowakeword_tpu.data.features import (EMB_OFFSET,
+                                                default_encoder_variables)
+    from nanowakeword_tpu.models.embedding import (build_encoder,
+                                                   infer_encoder_arch)
     from nanowakeword_tpu.models.model import Model
-    from nanowakeword_tpu.ops import mel as melops
 
     config = {
         "activation_function": "relu",
@@ -38,10 +39,11 @@ def build_forward():
     model = Model(config=config, model_name="bench_crnn",
                   input_shape=(16, 96), model_type="crnn",
                   layer_dim=64, n_blocks=2, dropout_prob=0.0)
-    # throughput path: bf16 MXU passes everywhere
-    encoder = SpeechEmbeddingEncoder(dtype=jnp.bfloat16, precision=None)
-    enc_vars = encoder.init(jax.random.PRNGKey(10),
-                            jnp.zeros((1, 76, melops.N_MELS)))
+    # throughput path: bf16 MXU passes everywhere; the encoder is the
+    # SHIPPED pretrained asset (same weights + geometry the product runs)
+    enc_vars = default_encoder_variables()
+    encoder = build_encoder(infer_encoder_arch(enc_vars),
+                            dtype=jnp.bfloat16, precision=None)
     bf16_vars = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
@@ -209,8 +211,10 @@ def bench_all(batch: int = 2048):
     import jax
     import jax.numpy as jnp
 
-    from nanowakeword_tpu.data.features import EMB_OFFSET
-    from nanowakeword_tpu.models.embedding import SpeechEmbeddingEncoder
+    from nanowakeword_tpu.data.features import (EMB_OFFSET,
+                                                default_encoder_variables)
+    from nanowakeword_tpu.models.embedding import (build_encoder,
+                                                   infer_encoder_arch)
     from nanowakeword_tpu.models.model import Model
     from nanowakeword_tpu.ops import mel as melops
     from nanowakeword_tpu.ops.augment import (AugmentParams, augment_batch,
@@ -232,9 +236,10 @@ def bench_all(batch: int = 2048):
                      input_shape=(16, 96), model_type=mt, layer_dim=64,
                      n_blocks=2, dropout_prob=0.0, **kw)
 
-    encoder = SpeechEmbeddingEncoder(dtype=jnp.bfloat16, precision=None)
-    enc_vars = jax.device_put(encoder.init(jax.random.PRNGKey(10),
-                                           jnp.zeros((1, 76, 32))))
+    _enc_host = default_encoder_variables()
+    encoder = build_encoder(infer_encoder_arch(_enc_host),
+                            dtype=jnp.bfloat16, precision=None)
+    enc_vars = jax.device_put(_enc_host)
     feats16 = jax.device_put(np.asarray(
         rng.normal(size=(batch, 16, 96)), np.float32))
     audio1s = jax.device_put(np.asarray(

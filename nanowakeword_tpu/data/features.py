@@ -33,7 +33,9 @@ import numpy as np
 
 from nanowakeword_tpu.models.embedding import (EMB_STRIDE, EMB_WINDOW,
                                                EMBEDDING_DIM,
-                                               SpeechEmbeddingEncoder)
+                                               SpeechEmbeddingEncoder,
+                                               build_encoder,
+                                               infer_encoder_arch)
 from nanowakeword_tpu.ops import mel as melops
 
 MEL_BUFFER_FRAMES = 970      # ~10 s of mel history (AudioFeatures.py:108)
@@ -65,9 +67,10 @@ class StreamState(NamedTuple):
 
 
 @functools.lru_cache(maxsize=4)
-def _default_encoder_variables(seed: int = ENCODER_SEED):
+def _default_encoder_variables(seed: int = ENCODER_SEED,
+                               arch: str = "conv4"):
     """Deterministic random initialisation (template / last-resort fallback)."""
-    enc = SpeechEmbeddingEncoder()
+    enc = build_encoder(arch)
     return enc.init(jax.random.PRNGKey(seed),
                     jnp.zeros((1, EMB_WINDOW, melops.N_MELS)))
 
@@ -79,6 +82,9 @@ def pretrained_encoder_variables():
     The asset is produced by train/pretrain_encoder.py (word-classification
     proxy task over synthetic speech) and plays the role of the reference's
     downloaded frozen speech-embedding model (AudioFeatures.py:172-183).
+    The encoder architecture is inferred from the stored kernel shapes
+    (models/embedding.py:infer_encoder_arch), so versioned assets with
+    different geometries load transparently.
     """
     from nanowakeword_tpu.assets import speech_encoder_asset_path
     path = speech_encoder_asset_path()
@@ -87,8 +93,9 @@ def pretrained_encoder_variables():
     from flax import serialization
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    return serialization.from_state_dict(_default_encoder_variables(),
-                                         payload)
+    arch = infer_encoder_arch(payload)
+    return serialization.from_state_dict(
+        _default_encoder_variables(arch=arch), payload)
 
 
 def default_encoder_variables():
@@ -116,9 +123,11 @@ class AudioFeatures:
         self.compute_dtype = compute_dtype
         self.debug_mode = debug_mode
         self.debug_limit = debug_limit
-        self.encoder = SpeechEmbeddingEncoder()
         self.encoder_variables = (encoder_variables
                                   or default_encoder_variables())
+        # module geometry must match the loaded weights (versioned assets)
+        self.encoder = build_encoder(
+            infer_encoder_arch(self.encoder_variables))
 
         self._jit_stream_step = jax.jit(self._stream_step_impl)
         self._jit_embed = jax.jit(self._embed_impl)
@@ -282,5 +291,6 @@ class AudioFeatures:
 
     def load_encoder_params(self, variables):
         self.encoder_variables = variables
+        self.encoder = build_encoder(infer_encoder_arch(variables))
         self._jit_stream_step = jax.jit(self._stream_step_impl)
         self._jit_embed = jax.jit(self._embed_impl)

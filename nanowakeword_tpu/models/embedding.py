@@ -86,3 +86,68 @@ class SpeechEmbeddingEncoder(nn.Module):
         x = nn.Dense(EMBEDDING_DIM, dtype=self.dtype,
                      precision=self.precision)(x)
         return x
+
+
+class WideSpeechEmbeddingEncoder(nn.Module):
+    """MXU-aligned encoder variant ("wide128"): same time geometry and
+    [B, T, 32] -> [B, (T-76)//8 + 1, 96] contract as SpeechEmbeddingEncoder,
+    but the first conv consumes the WHOLE 32-bin freq axis into 128 channels
+    and the rest are pure 1-D temporal convs at 128 channels.
+
+    Why: MXU output lanes come in 128-wide tiles, so the small encoder's
+    32/48/64/96-channel convs pad to 128 lanes and waste 1.3-4x of every
+    pass; at 128 channels each pass is lane-full. Measured on v5e (batch
+    4096x1s, bf16): 0.217 us/clip vs 0.371 for the small geometry — 1.71x —
+    at 2.1x the parameters (0.38M, still tiny).
+
+    Time geometry:  k=10/s=2 -> k=8/s=2 -> k=8/s=2 -> k=4/s=1
+        receptive field = 76, stride = 8  (identical to the small encoder)
+    """
+
+    width: int = 128
+    dtype: jnp.dtype = jnp.float32
+    precision: object = jax.lax.Precision.HIGH
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        x = mel[..., None].astype(self.dtype)            # [B, T, 32, 1]
+        x = nn.Conv(self.width, (10, 32), strides=(2, 1), padding="VALID",
+                    dtype=self.dtype, precision=self.precision)(x)
+        x = nn.relu(x).squeeze(axis=2)                   # [B, T1, 128]
+        for k, s in ((8, 2), (8, 2), (4, 1)):
+            x = nn.Conv(self.width, (k,), strides=(s,), padding="VALID",
+                        dtype=self.dtype, precision=self.precision)(x)
+            x = nn.relu(x)
+        return nn.Dense(EMBEDDING_DIM, dtype=self.dtype,
+                        precision=self.precision)(x)
+
+
+ENCODER_ARCHS = {
+    "conv4": SpeechEmbeddingEncoder,
+    "wide128": WideSpeechEmbeddingEncoder,
+}
+DEFAULT_ENCODER_ARCH = "conv4"
+
+
+def build_encoder(arch: str = DEFAULT_ENCODER_ARCH, **kwargs):
+    """Encoder module for an architecture id ("conv4" | "wide128")."""
+    try:
+        return ENCODER_ARCHS[arch](**kwargs)
+    except KeyError:
+        raise ValueError(f"unknown encoder arch '{arch}'; "
+                         f"known: {sorted(ENCODER_ARCHS)}") from None
+
+
+def infer_encoder_arch(variables) -> str:
+    """Architecture id from a variables pytree (shape of the first conv).
+
+    Assets and `.nww`-bundled encoders carry no explicit arch field from
+    older versions; the first kernel's freq extent identifies the family:
+    (10, 4, 1, 32) -> conv4, (10, 32, 1, width) -> wide128.
+    """
+    params = variables.get("params", variables)
+    kernel = params["Conv_0"]["kernel"]
+    shape = tuple(int(s) for s in kernel.shape)
+    if shape[:3] == (10, 32, 1):
+        return "wide128"
+    return "conv4"

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nanowakeword_tpu.models.embedding import SpeechEmbeddingEncoder
+from nanowakeword_tpu.models.embedding import build_encoder
 from nanowakeword_tpu.ops import mel as melops
 from nanowakeword_tpu.utils.audio_io import load_audio
 from nanowakeword_tpu.utils.logger import print_info
@@ -43,14 +43,15 @@ class EndToEndModule(nn.Module):
     context_frames: int = 16
     freeze_encoder: bool = False
     encoder_dtype: jnp.dtype = jnp.bfloat16
+    encoder_arch: str = "conv4"
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray, deterministic: bool = True):
         from nanowakeword_tpu.data.features import EMB_OFFSET
         mel = melops.mel_frontend(audio, compute_dtype=jnp.bfloat16)
-        emb = SpeechEmbeddingEncoder(dtype=self.encoder_dtype,
-                                     precision=None,
-                                     name="encoder")(mel[:, EMB_OFFSET:])
+        emb = build_encoder(self.encoder_arch, dtype=self.encoder_dtype,
+                            precision=None,
+                            name="encoder")(mel[:, EMB_OFFSET:])
         if self.freeze_encoder:
             emb = jax.lax.stop_gradient(emb)
         t = emb.shape[1]
@@ -179,18 +180,24 @@ class E2EModel:
         self.clip_samples = clip_samples
         self.context_frames = context_frames
 
+        # Warm-start the encoder from the bundled pretrained asset when
+        # present — e2e training then fine-tunes (or freezes) a real speech
+        # embedding instead of learning one from scratch. The module's
+        # encoder geometry follows the asset's architecture.
+        from nanowakeword_tpu.data.features import pretrained_encoder_variables
+        from nanowakeword_tpu.models.embedding import infer_encoder_arch
+        pretrained = pretrained_encoder_variables()
+        arch = (infer_encoder_arch(pretrained)
+                if pretrained is not None else "conv4")
+
         self.module = EndToEndModule(
             classifier=classifier_model.module,
             context_frames=context_frames,
-            freeze_encoder=freeze_encoder)
+            freeze_encoder=freeze_encoder,
+            encoder_arch=arch)
         dummy = jnp.zeros((1, clip_samples), jnp.float32)
         self.variables = self.module.init(
             {"params": jax.random.PRNGKey(seed)}, dummy)
-        # Warm-start the encoder from the bundled pretrained asset when
-        # present — e2e training then fine-tunes (or freezes) a real speech
-        # embedding instead of learning one from scratch.
-        from nanowakeword_tpu.data.features import pretrained_encoder_variables
-        pretrained = pretrained_encoder_variables()
         if pretrained is not None:
             params = dict(self.variables["params"])
             params["encoder"] = pretrained["params"]

@@ -38,7 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanowakeword_tpu.models.embedding import (EMBEDDING_DIM,
-                                               SpeechEmbeddingEncoder)
+                                               SpeechEmbeddingEncoder,
+                                               build_encoder,
+                                               infer_encoder_arch)
 from nanowakeword_tpu.ops import mel as melops
 from nanowakeword_tpu.ops.augment import AugmentParams, augment_batch
 from nanowakeword_tpu.utils.logger import print_info
@@ -69,6 +71,7 @@ class PretrainConfig(NamedTuple):
     rir_clips: int = 64
     batch_size: int = 256
     steps: int = 4000
+    encoder_arch: str = "conv4"    # models/embedding.py ENCODER_ARCHS
     peak_lr: float = 2e-3
     weight_decay: float = 1e-4
     warmup_frac: float = 0.05
@@ -316,12 +319,14 @@ class EncoderPretrainModule(nn.Module):
     """
 
     vocab_size: int
+    encoder_arch: str = "conv4"
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
         from nanowakeword_tpu.data.features import EMB_OFFSET
         mel = melops.mel_frontend(audio, compute_dtype=jnp.bfloat16)
-        emb = SpeechEmbeddingEncoder(name="encoder")(mel[:, EMB_OFFSET:])
+        emb = build_encoder(self.encoder_arch,
+                            name="encoder")(mel[:, EMB_OFFSET:])
         pooled = jnp.concatenate([emb.mean(axis=1), emb.max(axis=1)], axis=-1)
         return nn.Dense(self.vocab_size, name="word_head")(pooled)
 
@@ -368,7 +373,8 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
     n_clips, clip_len = clips.shape
     vocab = int(labels.max()) + 1
 
-    module = EncoderPretrainModule(vocab_size=vocab)
+    module = EncoderPretrainModule(vocab_size=vocab,
+                                   encoder_arch=config.encoder_arch)
     variables = module.init(jax.random.PRNGKey(config.seed),
                             jnp.zeros((1, clip_len), jnp.float32))
     params = variables["params"]
@@ -469,7 +475,7 @@ def centroid_word_accuracy(encoder_variables, words: Sequence[str],
     speech embedding separates words it never saw; a random-init encoder
     performs near chance (tests/test_pretrained_encoder.py relies on this).
     """
-    encoder = SpeechEmbeddingEncoder()
+    encoder = build_encoder(infer_encoder_arch(encoder_variables))
 
     @jax.jit
     def embed(audio):
@@ -542,7 +548,7 @@ def confusable_pair_accuracy(encoder_variables,
     classified between the TWO centroids only. Chance = 0.5; whole-word
     centroid identification (centroid_word_accuracy) saturates long before
     this does, because here every distractor is maximally close."""
-    encoder = SpeechEmbeddingEncoder()
+    encoder = build_encoder(infer_encoder_arch(encoder_variables))
 
     @jax.jit
     def embed(audio):
@@ -605,7 +611,7 @@ def evaluate_transfer(enc_vars, train_words: Sequence[str],
     }
     if with_random_baseline:
         from nanowakeword_tpu.models.embedding import EMB_WINDOW
-        rand = SpeechEmbeddingEncoder().init(
+        rand = build_encoder(infer_encoder_arch(enc_vars)).init(
             jax.random.PRNGKey(10), jnp.zeros((1, EMB_WINDOW, 32)))
         report["random_encoder_centroid_acc"] = centroid_word_accuracy(
             rand, transfer_words)
@@ -627,24 +633,29 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--variants", type=int,
                    default=PretrainConfig().variants_per_word)
     p.add_argument("--batch", type=int, default=PretrainConfig().batch_size)
+    p.add_argument("--arch", default=PretrainConfig().encoder_arch,
+                   help="encoder architecture id (conv4 | wide128)")
     p.add_argument("--cache", default=None,
                    help="corpus .npz cache path (skips re-synthesis)")
     args = p.parse_args(argv)
 
     config = PretrainConfig(vocab_size=args.vocab,
                             variants_per_word=args.variants,
-                            batch_size=args.batch, steps=args.steps)
+                            batch_size=args.batch, steps=args.steps,
+                            encoder_arch=args.arch)
     enc_vars, report = pretrain_encoder(config, cache_path=args.cache)
 
     train_words = [str(w) for w in build_corpus(
         config, cache_path=args.cache, verbose=False)["words"]]
     report.update(evaluate_transfer(enc_vars, train_words))
+    report["encoder_arch"] = config.encoder_arch
     report["recipe"] = (
         f"word-classification proxy on {config.vocab_size} synthetic formant "
         f"pseudo-words ({config.confusable_fraction:.0%} confusable "
         f"minimal-pair twins) x {config.variants_per_word} speakers; SNR "
         "3-25dB colored+babble noise, synthetic-RIR reverb p=0.25, pitch "
-        "+-1.5st, gain +-6dB; adamw warmup-cosine")
+        f"+-1.5st, gain +-6dB; adamw warmup-cosine; {config.encoder_arch} "
+        "encoder")
     save_encoder_asset(enc_vars, args.out, meta=report)
 
 
