@@ -46,10 +46,12 @@ def test_asset_is_bundled_with_metadata():
 
 
 def test_default_encoder_is_the_pretrained_asset():
+    from nanowakeword_tpu.models.embedding import infer_encoder_arch
     pretrained = pretrained_encoder_variables()
     assert pretrained is not None
     default = default_encoder_variables()
-    rand = _default_encoder_variables()
+    # random baseline of the SAME architecture as the shipped asset
+    rand = _default_encoder_variables(arch=infer_encoder_arch(pretrained))
     # default == pretrained, and pretrained != random init
     import jax
     d_leaves = jax.tree_util.tree_leaves(default)
