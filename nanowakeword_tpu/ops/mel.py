@@ -1,33 +1,47 @@
-"""TPU-native log-mel frontend.
+"""TPU-native log-mel frontend (hop-DFT formulation, N_FFT = 480).
 
 This is the acoustic core of nanowakeword-tpu. The reference implementation
 (`/root/reference/nanowakeword/data/AudioFeatures.py:124-153`) delegates the
 mel-spectrogram to an opaque ONNX model with the contract: 16 kHz int16 PCM in,
 32 mel bins out at ~100 frames/sec, post-transformed with ``spec/10 + 2``.
+That contract (bin count, frame rate, scale) is preserved; the transform
+inside is our own design, chosen for the MXU:
 
-We re-design it TPU-first instead of wrapping a black box:
+* **Hop-granular DFT** — the analysis window (480) is exactly 3 hops (160),
+  and with ``N_FFT == 480`` the window-length DFT factorizes over hops:
 
-* **Framing by reshape, not gather** — the window (480 samples = 3 hops of 160)
-  is an integer multiple of the hop, so the overlapping frame matrix is built
-  from three shifted views of a ``[T+2, 160]`` reshape. No gathers, no
-  dynamic shapes, fully fusible by XLA and trivially expressible in Pallas.
-* **DFT as matmul** — a real DFT is two ``[480, n_bins]`` matrix multiplies
-  that ride the MXU in bfloat16 with float32 accumulation, far cheaper than
-  an HBM-bound FFT. Only the spectral bins the mel filterbank actually reads
-  are computed: with fmax=3800 Hz that is bins 0..121 of 257, padded to one
-  128-wide lane tile — a 3x cut in DFT FLOPs with an identical mel result
-  (every dropped bin has zero filter weight).
+      X(t, f) = sum_k  e^{-i 2pi k f / 3} * S(t + k, f),      k = 0..2
+      S(r, f) = sum_tau x[160 r + tau] e^{-i 2pi tau f / 480}
+
+  so the MXU computes ONE pair of ``[160, n_bins]`` matmuls per hop ROW
+  (every row is reused by the 3 frames that overlap it), instead of one
+  ``[480, n_bins]`` pair per FRAME — 3x fewer DFT FLOPs than the frame-
+  matrix route. The phase combine is cheap elementwise work.
+* **Analytic Hann** — the periodic Hann window of length N_FFT is EXACTLY a
+  3-tap convolution in frequency:
+
+      Xw(f) = 0.5 X(f) - 0.25 X(f-1) - 0.25 X(f+1)     (X(-1) = conj X(1))
+
+  applied after the phase combine; no window folding into bases needed.
+* **Bin pruning** — only the spectral bins the mel filterbank reads are
+  computed: with fmax = 3800 Hz that is bins 0..~116 of 241, padded to one
+  128-wide MXU lane tile (every dropped bin has zero filter weight; the two
+  edge lanes whose +-1 taps fall outside the tile are bins the filterbank
+  also never reads).
 * **Exact streaming == batch** — the frontend left-pads every clip with
-  ``WINDOW - HOP = 320`` zero samples. Then every 1280-sample (80 ms) chunk
-  contributes exactly 8 new frames, and a streaming implementation that
-  carries a 320-sample tail sees the *identical* frame matrix as the batch
-  path: outputs agree to float32 rounding (a few ulps of XLA matmul
-  reassociation; bit-exact when the per-call frame counts match). The
+  ``WINDOW - HOP = 320`` zero samples; every 1280-sample (80 ms) chunk then
+  contributes exactly 8 new frames, and the streaming step runs the same
+  per-row dots + combines on the same row values as the batch path, so the
+  two agree to float32 determinism (tested, tests/test_mel.py). The
   reference's streaming admittedly diverges from its batch path
-  (`AudioFeatures.py:388-393`); here it is a tested invariant
-  (tests/test_mel.py).
+  (`AudioFeatures.py:388-393`); here it is an invariant.
 
-Output contract (matches the reference numerically in *shape and scale*):
+History: the original design used N_FFT = 512 with the window and int16
+scale folded into per-hop slabs of the frame basis (3 shifted [160, 128]
+matmul pairs per frame; see git history). The hop-DFT factorization needs
+only 1 pair per row — measured kernel comparison in ops/mel_pallas.py.
+
+Output contract:
     mel_frontend(x[n]) -> [n // HOP, N_MELS]   (for n a multiple of HOP)
     values = log10(mel_power + EPS) + LOG_OFFSET   (the ``x/10 + 2`` scale)
 """
@@ -46,7 +60,8 @@ import numpy as np
 SAMPLE_RATE = 16000
 HOP = 160                   # 10 ms
 WINDOW = 480                # 30 ms = 3 hops (framing-by-reshape invariant)
-N_FFT = 512
+N_FFT = 480                 # == WINDOW: enables the hop-DFT factorization
+N_BINS = 128                # computed spectral bins (one MXU lane tile)
 N_MELS = 32
 FMIN = 60.0
 FMAX = 3800.0
@@ -67,26 +82,8 @@ def _hann(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_mel_matrices(dtype_name: str = "bfloat16"):
-    """Precompute (cos, sin, mel_fb) as numpy constants.
-
-    cos/sin: [WINDOW, n_keep] real-DFT basis with the Hann window folded in,
-             pruned to the (lane-tile-aligned) bins the filterbank reads.
-    mel_fb:  [n_keep, N_MELS] triangular filterbank (HTK mel).
-    """
-    n_bins = N_FFT // 2 + 1
-    t = np.arange(WINDOW)[:, None]          # [480, 1]
-    k = np.arange(n_bins)[None, :]          # [1, 257]
-    ang = 2.0 * np.pi * t * k / N_FFT
-    # Fold the Hann window AND the int16 normalisation into the DFT basis:
-    # matmul inputs stay bit-identical between the batch and streaming paths
-    # (an input-side scale would fuse differently per shape and break exact
-    # streaming == batch equality).
-    win = _hann(WINDOW)[:, None] * INT16_SCALE
-    cos_m = (np.cos(ang) * win).astype(np.float64)
-    sin_m = (-np.sin(ang) * win).astype(np.float64)
-
-    # HTK mel filterbank
+def _mel_filterbank() -> np.ndarray:
+    """[N_BINS, N_MELS] triangular filterbank (HTK mel) on the N_FFT grid."""
     def hz_to_mel(f):
         return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
 
@@ -95,106 +92,84 @@ def _dft_mel_matrices(dtype_name: str = "bfloat16"):
 
     mel_pts = np.linspace(hz_to_mel(FMIN), hz_to_mel(FMAX), N_MELS + 2)
     hz_pts = mel_to_hz(mel_pts)
-    bin_freqs = np.arange(n_bins) * SAMPLE_RATE / N_FFT
-    fb = np.zeros((n_bins, N_MELS))
+    bin_freqs = np.arange(N_BINS) * SAMPLE_RATE / N_FFT
+    fb = np.zeros((N_BINS, N_MELS))
     for m in range(N_MELS):
         lo, mid, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
         up = (bin_freqs - lo) / max(mid - lo, 1e-9)
         down = (hi - bin_freqs) / max(hi - mid, 1e-9)
         fb[:, m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
 
-    # Bin pruning: with FMAX=3800 Hz the filterbank's last nonzero row is
-    # bin ~122 of 257 — compute ONLY the spectral bins the filterbank reads,
-    # rounded up to a full 128-wide MXU lane tile. The mel output is the
-    # same sum (every dropped row has zero filter weight); the DFT matmuls
-    # shrink from three lane tiles (384 padded cols) to one.
-    n_used = int(np.flatnonzero(fb.any(axis=1)).max()) + 1
-    n_keep = min(n_bins, -(-n_used // 128) * 128)
-    cos_m, sin_m, fb = cos_m[:, :n_keep], sin_m[:, :n_keep], fb[:n_keep]
+
+@functools.lru_cache(maxsize=None)
+def _hopdft_constants(dtype_name: str = "bfloat16"):
+    """(b0_cos, b0_sin, phase_re, phase_im, mel_fb) numpy constants.
+
+    b0_cos/b0_sin: [HOP, N_BINS] hop-length real-DFT basis with the int16
+                   normalisation folded in (window is NOT folded — it is the
+                   analytic 3-tap applied post-combine).
+    phase_re/im:   [3, N_BINS] the e^{-i 2pi k f / 3} frame-combine factors.
+    mel_fb:        [N_BINS, N_MELS] filterbank.
+    """
+    tau = np.arange(HOP)[:, None]
+    f = np.arange(N_BINS)[None, :]
+    ang = 2.0 * np.pi * tau * f / N_FFT
+    b0c = (np.cos(ang) * INT16_SCALE).astype(np.float64)
+    b0s = (-np.sin(ang) * INT16_SCALE).astype(np.float64)
+
+    k = np.arange(3)[:, None]
+    pang = 2.0 * np.pi * k * np.arange(N_BINS)[None, :] / 3.0
+    p_re = np.cos(pang)
+    p_im = -np.sin(pang)
 
     dt = np.dtype(np.float32) if dtype_name == "float32" else jnp.bfloat16
-    return (
-        np.asarray(cos_m, dtype=dt),
-        np.asarray(sin_m, dtype=dt),
-        np.asarray(fb, dtype=dt),
-    )
+    return (np.asarray(b0c, dtype=dt), np.asarray(b0s, dtype=dt),
+            np.asarray(p_re, np.float32), np.asarray(p_im, np.float32),
+            np.asarray(_mel_filterbank(), dtype=dt))
 
 
-def frame_signal(x: jnp.ndarray) -> jnp.ndarray:
-    """Build the overlapping frame matrix with the reshape trick.
+def hann_taps(f_re: jnp.ndarray, f_im: jnp.ndarray):
+    """Apply the periodic-Hann 3-tap frequency convolution along the last
+    (bin) axis: Xw(f) = 0.5 X(f) - 0.25 X(f-1) - 0.25 X(f+1).
 
-    Args:
-        x: [..., n] float audio, n a multiple of HOP, ALREADY left-padded so
-           that frame i covers samples [i*HOP, i*HOP + WINDOW).
-
-    Returns:
-        [..., n//HOP - 2, WINDOW] frame matrix.
+    Edge semantics: X(-1) = conj(X(1)) (real input); X(N_BINS) is not
+    computed, so the TOP lane's +1 tap reads a duplicate — bins >= 117 have
+    zero filterbank weight, so the result is unaffected.
     """
-    n = x.shape[-1]
-    if n % HOP != 0:
-        raise ValueError(f"signal length {n} must be a multiple of HOP={HOP}")
-    t = n // HOP
-    r = x.reshape(x.shape[:-1] + (t, HOP))
-    # frame i = concat(r[i], r[i+1], r[i+2]);  WINDOW == 3*HOP
-    return jnp.concatenate([r[..., :-2, :], r[..., 1:-1, :], r[..., 2:, :]], axis=-1)
+    m1_re = jnp.concatenate([f_re[..., 1:2], f_re[..., :-1]], axis=-1)
+    m1_im = jnp.concatenate([-f_im[..., 1:2], f_im[..., :-1]], axis=-1)
+    p1_re = jnp.concatenate([f_re[..., 1:], f_re[..., -1:]], axis=-1)
+    p1_im = jnp.concatenate([f_im[..., 1:], f_im[..., -1:]], axis=-1)
+    w_re = 0.5 * f_re - 0.25 * (m1_re + p1_re)
+    w_im = 0.5 * f_im - 0.25 * (m1_im + p1_im)
+    return w_re, w_im
 
 
-def log_mel_from_frames(frames: jnp.ndarray, *, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """[..., T, WINDOW] frames -> [..., T, N_MELS] transformed log-mel."""
-    cos_m, sin_m, fb = _dft_mel_matrices(
-        "float32" if compute_dtype == jnp.float32 else "bfloat16"
-    )
-    f = frames.astype(compute_dtype)
-    re = jnp.matmul(f, cos_m, preferred_element_type=jnp.float32)
-    im = jnp.matmul(f, sin_m, preferred_element_type=jnp.float32)
-    power = re * re + im * im
-    mel = jnp.matmul(power.astype(compute_dtype), fb,
-                     preferred_element_type=jnp.float32)
-    # Transformed scale: dB/10 + 2  ==  log10(power + eps) + 2
-    return jnp.log10(jnp.maximum(mel, 0.0) + MEL_EPS) + LOG_OFFSET
+def _log_mel_from_rows(rows: jnp.ndarray, t: int, *,
+                       compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[..., t+2, HOP] hop rows -> [..., t, N_MELS] transformed log-mel.
 
-
-def mel_frontend_slab(x: jnp.ndarray, *,
-                      compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Whole-clip log-mel via the hop-block decomposition, in plain XLA.
-
-    Never materialises the [B, T, 480] frame matrix: since WINDOW == 3*HOP,
-    ``frames @ W == sum_k rows[k:T+k] @ W_k`` over three row-shifted views of
-    the [B, T+2, HOP] audio reshape and the matching [HOP, n_bins] slabs of
-    the DFT basis. Output is numerically equivalent (bit-exact measured) to
-    `mel_frontend`.
-
-    Measured on v5e this is SLOWER than `mel_frontend` (643k vs 864k 1-s
-    clips/s with the pruned basis; 438k vs 745k unpruned): XLA fuses the frame concat into the matmul operand read, so
-    the frame matrix is never actually written to HBM, and one K=480 matmul
-    utilises the MXU better than three K=160 ones. Kept as the portable
-    fallback shape for kernels that cannot express the overlap (see
-    ops/mel_pallas.py) and as documentation of the measurement.
+    The shared core of the batch and streaming paths: per-row hop DFT,
+    phase combine over the 3 overlapping rows per frame, analytic Hann,
+    power, filterbank, log compression. Identical row values in produce
+    identical frames out, which is what makes streaming == batch exact.
     """
-    x = x.astype(jnp.float32)
-    if x.ndim == 1:
-        x = x[None]
-    n = x.shape[-1]
-    if n % HOP != 0:
-        x = jnp.pad(x, ((0, 0), (0, HOP - n % HOP)))
-        n = x.shape[-1]
-    t = n // HOP
-    rows = jnp.pad(x, ((0, 0), (LEFT_PAD, 0))).reshape(x.shape[0], t + 2, HOP)
-    rows = rows.astype(compute_dtype)
-
-    cos_m, sin_m, fb = _dft_mel_matrices(
+    b0c, b0s, p_re, p_im, fb = _hopdft_constants(
         "float32" if compute_dtype == jnp.float32 else "bfloat16")
-    n_bins = np.asarray(cos_m).shape[-1]
-    cos3 = np.asarray(cos_m).reshape(3, HOP, n_bins)
-    sin3 = np.asarray(sin_m).reshape(3, HOP, n_bins)
+    r = rows.astype(compute_dtype)
+    s_re = jnp.matmul(r, b0c, preferred_element_type=jnp.float32)
+    s_im = jnp.matmul(r, b0s, preferred_element_type=jnp.float32)
 
-    re = sum(jnp.matmul(rows[:, k:t + k], jnp.asarray(cos3[k]),
-                        preferred_element_type=jnp.float32)
-             for k in range(3))
-    im = sum(jnp.matmul(rows[:, k:t + k], jnp.asarray(sin3[k]),
-                        preferred_element_type=jnp.float32)
-             for k in range(3))
-    power = re * re + im * im
+    f_re = s_re[..., 0:t, :]
+    f_im = s_im[..., 0:t, :]
+    for k in (1, 2):
+        pr, pi = p_re[k], p_im[k]
+        f_re = f_re + pr * s_re[..., k:t + k, :] - pi * s_im[..., k:t + k, :]
+        f_im = f_im + pr * s_im[..., k:t + k, :] + pi * s_re[..., k:t + k, :]
+
+    w_re, w_im = hann_taps(f_re, f_im)
+    power = w_re * w_re + w_im * w_im
     mel = jnp.matmul(power.astype(compute_dtype), fb,
                      preferred_element_type=jnp.float32)
     return jnp.log10(jnp.maximum(mel, 0.0) + MEL_EPS) + LOG_OFFSET
@@ -207,15 +182,19 @@ def mel_frontend(x: jnp.ndarray, *, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     exactly n // HOP and the result identical to the streaming path.
     """
     x = x.astype(jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
     n = x.shape[-1]
     if n % HOP != 0:
-        # right-pad with zeros to a hop multiple (static shapes only)
         pad = HOP - n % HOP
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        n = x.shape[-1]
+    t = n // HOP
     pad_widths = [(0, 0)] * (x.ndim - 1) + [(LEFT_PAD, 0)]
-    x = jnp.pad(x, pad_widths)
-    frames = frame_signal(x)
-    return log_mel_from_frames(frames, compute_dtype=compute_dtype)
+    rows = jnp.pad(x, pad_widths).reshape(x.shape[:-1] + (t + 2, HOP))
+    out = _log_mel_from_rows(rows, t, compute_dtype=compute_dtype)
+    return out[0] if squeeze else out
 
 
 def mel_streaming_step(tail: jnp.ndarray, chunk: jnp.ndarray,
@@ -231,15 +210,39 @@ def mel_streaming_step(tail: jnp.ndarray, chunk: jnp.ndarray,
         (new_tail [..., LEFT_PAD], frames [..., FRAMES_PER_CHUNK, N_MELS])
 
     Invariant (tested): concatenating the frames from successive steps equals
-    `mel_frontend` of the concatenated audio, exactly.
+    `mel_frontend` of the concatenated audio, exactly — both paths run the
+    same per-row dots on the same row values.
     """
     chunk = chunk.astype(jnp.float32)
     tail = tail.astype(jnp.float32)
     buf = jnp.concatenate([tail, chunk], axis=-1)       # [..., 1600]
-    frames = frame_signal(buf)                          # [..., 8, WINDOW]
-    out = log_mel_from_frames(frames, compute_dtype=compute_dtype)
+    rows = buf.reshape(buf.shape[:-1] + (FRAMES_PER_CHUNK + 2, HOP))
+    out = _log_mel_from_rows(rows, FRAMES_PER_CHUNK,
+                             compute_dtype=compute_dtype)
     new_tail = buf[..., -LEFT_PAD:]
     return new_tail, out
+
+
+def mel_frontend_reference(x: np.ndarray) -> np.ndarray:
+    """Direct windowed N_FFT-point DFT mel in float64 numpy — the oracle the
+    hop-DFT factorization is validated against (equal up to bf16/f32
+    rounding of the fast path; tests/test_mel.py)."""
+    x = np.asarray(x, np.float64) * INT16_SCALE
+    if x.ndim == 1:
+        x = x[None]
+    b, n = x.shape
+    t = n // HOP
+    xp = np.pad(x, ((0, 0), (LEFT_PAD, 0)))
+    win = _hann(N_FFT)
+    tau = np.arange(N_FFT)[:, None]
+    f = np.arange(N_BINS)[None, :]
+    basis = np.exp(-2j * np.pi * tau * f / N_FFT) * win[:, None]
+    frames = np.stack([xp[:, i * HOP:i * HOP + N_FFT] for i in range(t)],
+                      axis=1)                           # [B, T, 480]
+    spec = frames @ basis
+    power = np.abs(spec) ** 2
+    mel = power @ _mel_filterbank()
+    return np.log10(np.maximum(mel, 0.0) + MEL_EPS) + LOG_OFFSET
 
 
 def n_mel_frames(n_samples: int) -> int:

@@ -82,22 +82,28 @@ class TestNumerics:
         mid = out[20:80]  # steady-state frames
         peak_bin = int(np.argmax(mid.mean(axis=0)))
         # bin centres: mel-spaced 60..3800 over 32 bins; 1 kHz lands mid-scale
-        cos_m, sin_m, fb = M._dft_mel_matrices("float32")
-        # fb is pruned to the lane-aligned bins the filterbank reads
-        bin_freqs = np.arange(np.asarray(fb).shape[0]) \
-            * M.SAMPLE_RATE / M.N_FFT
-        centre = float((np.asarray(fb)[:, peak_bin] * bin_freqs).sum()
-                       / np.asarray(fb)[:, peak_bin].sum())
+        fb = M._mel_filterbank()
+        bin_freqs = np.arange(fb.shape[0]) * M.SAMPLE_RATE / M.N_FFT
+        centre = float((fb[:, peak_bin] * bin_freqs).sum()
+                       / fb[:, peak_bin].sum())
         assert abs(centre - 1000.0) < 150.0
 
-    def test_bin_pruning_matches_full_spectrum(self, rng):
-        """The lane-aligned bin pruning is lossless: a float64 numpy
-        reference over ALL 257 rfft bins gives the same log-mel."""
+    def test_hopdft_matches_direct_dft(self, rng):
+        """The hop-DFT factorization (per-row dots + phase combine + 3-tap
+        Hann) equals a direct windowed N_FFT-point DFT of each frame — the
+        float64 oracle — to the fast path's rounding."""
+        x = rng.integers(-20000, 20000, 16000).astype(np.float32)
+        out = np.asarray(M.mel_frontend(x, compute_dtype=jnp.float32))
+        ref = M.mel_frontend_reference(x)[0]
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    def test_hopdft_matches_fft_oracle(self, rng):
+        """Fully independent oracle: np.fft.rfft over the windowed frames
+        with an unpruned filterbank gives the same log-mel (the lane-tile
+        bin pruning is lossless for fmax=3800)."""
         x = rng.integers(-20000, 20000, 16000).astype(np.float64)
         out = np.asarray(M.mel_frontend(x.astype(np.float32),
                                         compute_dtype=jnp.float32))
-
-        # independent full-spectrum reference
         n_bins = M.N_FFT // 2 + 1
         padded = np.concatenate([np.zeros(M.LEFT_PAD), x])
         t = len(x) // M.HOP
@@ -106,7 +112,7 @@ class TestNumerics:
         win = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(M.WINDOW)
                                   / M.WINDOW)) / 32768.0
         spec = np.fft.rfft(frames * win, n=M.N_FFT)[:, :n_bins]
-        # full 257-row filterbank, rebuilt without pruning
+        # full-spectrum filterbank, rebuilt without pruning
         def h2m(f):
             return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
         def m2h(m):
