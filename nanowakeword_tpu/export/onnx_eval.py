@@ -76,6 +76,74 @@ def _maxpool2d(x, kernel, strides):
     return out
 
 
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _gru_direction(X, W, R, B, linear_before_reset=1):
+    """One-direction ONNX GRU: X [T,N,F], W [3H,F], R [3H,H], B [6H]
+    in (z,r,h) gate order -> Y [T,N,H]."""
+    H = R.shape[1]
+    Wb, Rb = B[:3 * H], B[3 * H:]
+    xg = X @ W.T + Wb                                 # [T, N, 3H]
+    h = np.zeros((X.shape[1], H), np.float32)
+    ys = np.empty(xg.shape[:2] + (H,), np.float32)
+    for t in range(X.shape[0]):
+        hg = h @ R.T
+        z = _sigmoid(xg[t, :, :H] + hg[:, :H] + Rb[:H])
+        r = _sigmoid(xg[t, :, H:2 * H] + hg[:, H:2 * H] + Rb[H:2 * H])
+        if linear_before_reset:
+            n = np.tanh(xg[t, :, 2 * H:] + r * (hg[:, 2 * H:] + Rb[2 * H:]))
+        else:
+            n = np.tanh(xg[t, :, 2 * H:] + (r * h) @ R[2 * H:].T
+                        + Rb[2 * H:])
+        h = (1.0 - z) * n + z * h
+        ys[t] = h
+    return ys
+
+
+def _lstm_direction(X, W, R, B):
+    """One-direction ONNX LSTM: gate order (i,o,f,c) -> Y [T,N,H]."""
+    H = R.shape[1]
+    Wb, Rb = B[:4 * H], B[4 * H:]
+    xg = X @ W.T + (Wb + Rb)                          # [T, N, 4H]
+    h = np.zeros((X.shape[1], H), np.float32)
+    c = np.zeros_like(h)
+    ys = np.empty(xg.shape[:2] + (H,), np.float32)
+    for t in range(X.shape[0]):
+        gates = xg[t] + h @ R.T
+        i = _sigmoid(gates[:, :H])
+        o = _sigmoid(gates[:, H:2 * H])
+        f = _sigmoid(gates[:, 2 * H:3 * H])
+        g = np.tanh(gates[:, 3 * H:])
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        ys[t] = h
+    return ys
+
+
+def _rnn_node(op, x, attrs):
+    """GRU/LSTM node -> Y [T, num_dirs, N, H] (zero initial state, no
+    sequence_lens — the subset onnx_export.py emits)."""
+    X, W, R, B = x[0], x[1], x[2], x[3]
+    direction = attrs.get("direction", "forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    step = (_gru_direction if op == "GRU"
+            else _lstm_direction)
+    kw = {}
+    if op == "GRU":
+        kw["linear_before_reset"] = attrs.get("linear_before_reset", 0)
+    dirs = []
+    for d in range(W.shape[0]):
+        Xd = X if (d == 0 and direction != "reverse") else X[::-1]
+        Y = step(Xd, W[d], R[d], B[d], **kw)
+        if d == 1 or direction == "reverse":
+            Y = Y[::-1]                               # align to input time
+        dirs.append(Y)
+    return np.stack(dirs, axis=1)
+
+
 def run(model: Union[str, bytes, P.ParsedModel],
         inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Execute the graph; returns {output_name: array}."""
@@ -157,6 +225,16 @@ def run(model: Union[str, bytes, P.ParsedModel],
             for s, e, ax in zip(starts, ends, axes):
                 sl[int(ax)] = slice(int(s), None if e >= 2**31 else int(e))
             y = data[tuple(sl)]
+        elif op == "MatMul":
+            y = x[0] @ x[1]
+        elif op == "Softmax":
+            ax = a.get("axis", -1)
+            e = np.exp(x[0] - x[0].max(axis=ax, keepdims=True))
+            y = e / e.sum(axis=ax, keepdims=True)
+        elif op == "Concat":
+            y = np.concatenate(x, axis=a["axis"])
+        elif op in ("GRU", "LSTM"):
+            y = _rnn_node(op, x, a)
         else:
             raise NotImplementedError(f"op '{op}' not supported by the "
                                       "built-in ONNX evaluator")

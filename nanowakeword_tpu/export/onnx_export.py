@@ -5,15 +5,25 @@ reference's deployable interchange format (`model.onnx`, produced by
 torch.onnx.export with a fixed [1, T, 96] input and a sigmoid score output).
 
 This exporter builds the ONNX graph directly from the Flax parameter tree
-(no torch, no onnx package — serialisation is onnx_proto.py). Supported
-families: every non-recurrent, non-attention backbone — "dnn"
-(Gemm/LayerNormalization stacks), "cnn" (Conv/MaxPool), "tcn" (dilated
-causal Conv1d blocks), "quartznet" (grouped depthwise-separable Conv1d +
-BatchNormalization), "bcresnet" (depthwise-separable 2D residual blocks) —
-plus the shared WakeWordModule head; these cover the default pipeline's
-distilled "lite"/gate students and all pure-conv zoo entries.
-Recurrent/attention families deploy via `.nww` (export/artifact.py), which
-streams through the jitted runtime instead.
+(no torch, no onnx package — serialisation is onnx_proto.py). ALL 11
+non-custom zoo families export:
+  * feed-forward/conv: "dnn" (Gemm/LayerNormalization stacks), "cnn"
+    (Conv/MaxPool), "tcn" (dilated causal Conv1d), "quartznet" (grouped
+    depthwise-separable Conv1d + BatchNormalization), "bcresnet"
+    (depthwise-separable 2D residual blocks);
+  * recurrent: "lstm"/"gru"/"rnn"/"crnn" emit native bidirectional ONNX
+    LSTM/GRU nodes (the same nodes torch.onnx.export produces for the
+    reference's recurrent models) with gates repacked from the Fast{GRU,
+    LSTM} layout — torch order (r,z,n)/(i,f,g,o) to ONNX (z,r,n)/(i,o,f,c),
+    linear_before_reset=1;
+  * attention: "transformer"/"conformer"/"e_branchformer" lower
+    MultiHeadDotProductAttention to per-head MatMul/Softmax, GLU/conv
+    modules to Conv + BatchNormalization, with sinusoidal positions baked
+    as an initializer.
+The shared WakeWordModule head is appended to every family; this covers
+the default pipeline's distilled "lite"/gate students and the whole zoo.
+The `.nww` artifact (export/artifact.py) remains the native deploy path
+(streaming state, carries); ONNX is the interchange format.
 
 Graph contract (matches the reference's exported model):
   input  "features" : float32 [1, T, 96]
@@ -37,7 +47,9 @@ import numpy as np
 from nanowakeword_tpu.export import onnx_proto as P
 from nanowakeword_tpu.utils.logger import print_error, print_info
 
-SUPPORTED_TYPES = ("dnn", "cnn", "tcn", "quartznet", "bcresnet")
+SUPPORTED_TYPES = ("dnn", "cnn", "tcn", "quartznet", "bcresnet",
+                   "lstm", "gru", "rnn", "crnn",
+                   "transformer", "conformer", "e_branchformer")
 
 
 class _GraphBuilder:
@@ -133,6 +145,34 @@ class _GraphBuilder:
                                 np.asarray([2**31 - 1], np.int64))
         axes = self.init_tensor("sl_axes", np.asarray([axis], np.int64))
         return self.add("Slice", [x, starts, ends, axes])
+
+    def slice_range(self, x: str, axis: int, start: int, end: int) -> str:
+        starts = self.init_tensor("sl_starts", np.asarray([start], np.int64))
+        ends = self.init_tensor("sl_ends", np.asarray([end], np.int64))
+        axes = self.init_tensor("sl_axes", np.asarray([axis], np.int64))
+        return self.add("Slice", [x, starts, ends, axes])
+
+    def reshape(self, x: str, shape) -> str:
+        s = self.init_tensor("shape", np.asarray(shape, np.int64))
+        return self.add("Reshape", [x, s])
+
+    def dense3d(self, x: str, kernel: np.ndarray, bias: np.ndarray,
+                hint: str) -> str:
+        """Dense over the LAST axis of an N-D tensor: MatMul + Add.
+        kernel [in, out] in flax layout (batched matmul broadcasts)."""
+        w = self.init_tensor(f"{hint}_w", kernel)
+        y = self.add("MatMul", [x, w])
+        if bias is not None:
+            b = self.init_tensor(f"{hint}_b", bias)
+            y = self.add("Add", [y, b])
+        return y
+
+    def const_mul(self, x: str, value: float, hint: str = "c") -> str:
+        c = self.init_tensor(hint, np.float32(value))
+        return self.add("Mul", [x, c])
+
+    def swish(self, x: str) -> str:
+        return self.add("Mul", [x, self.add("Sigmoid", [x])])
 
 
 def _same_pads(in_size: int, k: int, s: int) -> tuple:
@@ -329,14 +369,293 @@ def _bcresnet_backbone(g: _GraphBuilder, x: str, params: dict, stats: dict,
     return g.gemm(pooled, d["kernel"], d["bias"], "bc_out")
 
 
+# ---------------------------------------------------------------------------
+# Recurrent families — native ONNX GRU/LSTM nodes
+# ---------------------------------------------------------------------------
+
+def _pack_gru(p: dict):
+    """FastGRU params (models/fast_rnn.py:21-57, torch gate order r,z,n)
+    -> ONNX GRU tensors W [3H,F], R [3H,H], B [6H] in (z,r,n) order.
+    FastGRU's `n = tanh(xn + r*hn)` with the recurrent bias inside the
+    reset product is exactly ONNX `linear_before_reset=1` semantics."""
+    K = np.asarray(p["input_proj"]["kernel"], np.float32)     # [F, 3H]
+    bi = np.asarray(p["input_proj"]["bias"], np.float32)      # [3H]
+    Rk = np.asarray(p["recurrent_kernel"], np.float32)        # [H, 3H]
+    br = np.asarray(p["recurrent_bias"], np.float32)          # [3H]
+    H = Rk.shape[0]
+
+    def reorder(m):  # (r,z,n) -> (z,r,n) along the last axis
+        return np.concatenate([m[..., H:2 * H], m[..., :H], m[..., 2 * H:]],
+                              axis=-1)
+    W = reorder(K).T
+    R = reorder(Rk).T
+    B = np.concatenate([reorder(bi), reorder(br)])
+    return W, R, B, H
+
+
+def _pack_lstm(p: dict):
+    """FastLSTM params (torch gate order i,f,g,o) -> ONNX LSTM tensors in
+    (i,o,f,c) order: W [4H,F], R [4H,H], B [8H]."""
+    K = np.asarray(p["input_proj"]["kernel"], np.float32)
+    bi = np.asarray(p["input_proj"]["bias"], np.float32)
+    Rk = np.asarray(p["recurrent_kernel"], np.float32)
+    br = np.asarray(p["recurrent_bias"], np.float32)
+    H = Rk.shape[0]
+
+    def reorder(m):  # (i,f,g,o) -> (i,o,f,c)
+        return np.concatenate([m[..., :H], m[..., 3 * H:],
+                               m[..., H:2 * H], m[..., 2 * H:3 * H]],
+                              axis=-1)
+    W = reorder(K).T
+    R = reorder(Rk).T
+    B = np.concatenate([reorder(bi), reorder(br)])
+    return W, R, B, H
+
+
+def _bi_rnn(g: _GraphBuilder, x_seq: str, params: dict, cell: str,
+            t: int, hint: str) -> tuple:
+    """BiRNN (models/architectures.py:48-79) -> stacked bidirectional
+    GRU/LSTM nodes. x_seq is [T, 1, F]; returns ([T, 1, 2H] name, 2H)."""
+    pack = _pack_gru if cell == "gru" else _pack_lstm
+    op = "GRU" if cell == "gru" else "LSTM"
+    layer_key = "FastGRU_" if cell == "gru" else "FastLSTM_"
+    n_layers = len([k for k in params if k.startswith(layer_key)]) // 2
+    h = 0
+    for i in range(n_layers):
+        wf, rf, bf, h = pack(params[f"{layer_key}{2 * i}"])
+        wb, rb, bb, _ = pack(params[f"{layer_key}{2 * i + 1}"])
+        W = g.init_tensor(f"{hint}{i}_W", np.stack([wf, wb]))
+        R = g.init_tensor(f"{hint}{i}_R", np.stack([rf, rb]))
+        B = g.init_tensor(f"{hint}{i}_B", np.stack([bf, bb]))
+        attrs = dict(hidden_size=h, direction="bidirectional")
+        if op == "GRU":
+            attrs["linear_before_reset"] = 1
+        y = g.add(op, [x_seq, W, R, B], **attrs)   # [T, 2, 1, H]
+        y = g.add("Transpose", [y], perm=[0, 2, 1, 3])
+        x_seq = g.reshape(y, [t, 1, 2 * h])
+    return x_seq, 2 * h
+
+
+def _rnn_backbone(g: _GraphBuilder, x: str, params: dict, cell: str,
+                  t: int) -> str:
+    """LSTMModel/GRUModel/RNNModel (models/architectures.py:160-194):
+    bi-RNN over the feature frames, last timestep, Dense."""
+    xs = g.add("Transpose", [x], perm=[1, 0, 2])   # [T, 1, F]
+    out, width = _bi_rnn(g, xs, params["BiRNN_0"], cell, t, "rnn")
+    last = g.slice_last(out, axis=0)               # [1, 1, 2H]
+    flat = g.reshape(last, [1, width])
+    d = params["Dense_0"]
+    return g.gemm(flat, d["kernel"], d["bias"], "rnn_out")
+
+
+def _crnn_backbone(g: _GraphBuilder, x: str, params: dict, stats: dict,
+                   config: dict, activation: str, input_shape) -> str:
+    """CRNNModel (models/architectures.py:283-314): conv+BN+act+pool stack,
+    sequence over the reduced WIDTH axis with channels x reduced-time
+    features (the reference's quirky geometry), bi-RNN, last step, Dense."""
+    t, f = int(input_shape[0]), int(input_shape[1])
+    x4 = g.reshape(x, [1, 1, t, f])                # NCHW, C=1
+    h_sz, w_sz, ch = t, f, 1
+    n_convs = len([k for k in params if k.startswith("Conv_")])
+    for i in range(n_convs):
+        x4 = _conv_same(g, x4, params[f"Conv_{i}"]["kernel"],
+                        params[f"Conv_{i}"]["bias"], f"crnn_c{i}")
+        x4 = g.batch_norm(x4, params[f"BatchNorm_{i}"],
+                          stats[f"BatchNorm_{i}"], f"crnn_bn{i}")
+        x4 = g.activation(x4, activation)
+        x4 = g.add("MaxPool", [x4], kernel_shape=[2, 2], strides=[2, 2])
+        h_sz, w_sz = h_sz // 2, w_sz // 2
+        ch = params[f"Conv_{i}"]["kernel"].shape[-1]
+    # [1,C,H,W] -> [1,W,C,H] -> [1,W,C*H]  (flax: transpose(0,2,3,1) of NHWC)
+    seq = g.add("Transpose", [x4], perm=[0, 3, 1, 2])
+    seq = g.reshape(seq, [1, w_sz, ch * h_sz])
+    seq = g.add("Transpose", [seq], perm=[1, 0, 2])   # [W, 1, C*H]
+    cell = "gru" if str(config.get("crnn_rnn_type", "lstm")).lower() == "gru" \
+        else "lstm"
+    out, width = _bi_rnn(g, seq, params["BiRNN_0"], cell, w_sz, "crnn_rnn")
+    last = g.slice_last(out, axis=0)
+    flat = g.reshape(last, [1, width])
+    d = params["Dense_0"]
+    return g.gemm(flat, d["kernel"], d["bias"], "crnn_out")
+
+
+# ---------------------------------------------------------------------------
+# Attention families — MHSA lowered to per-head MatMul/Softmax
+# ---------------------------------------------------------------------------
+
+def _mhsa(g: _GraphBuilder, x: str, p: dict, t: int, hint: str) -> str:
+    """flax nn.MultiHeadDotProductAttention (self-attention) on [1, T, D]:
+    per-head q/k/v MatMuls, 1/sqrt(head_dim) query scaling, Softmax over
+    keys, context concat, output projection."""
+    n_head, head_dim = p["query"]["bias"].shape
+    d_model = p["query"]["kernel"].shape[0]
+
+    def proj(name):
+        k = np.asarray(p[name]["kernel"],
+                       np.float32).reshape(d_model, n_head * head_dim)
+        b = np.asarray(p[name]["bias"], np.float32).reshape(-1)
+        return g.dense3d(x, k, b, f"{hint}_{name}")
+
+    q = proj("query")
+    k = proj("key")
+    v = proj("value")
+    q = g.const_mul(q, 1.0 / np.sqrt(head_dim), f"{hint}_scale")
+
+    def heads(tensor, hint2, *, kt=False):
+        r = g.reshape(tensor, [t, n_head, head_dim])
+        r = g.add("Transpose", [r], perm=[1, 0, 2])        # [H, T, hd]
+        if kt:
+            r = g.add("Transpose", [r], perm=[0, 2, 1])    # [H, hd, T]
+        return r
+
+    scores = g.add("MatMul", [heads(q, "q"), heads(k, "k", kt=True)])
+    probs = g.add("Softmax", [scores], axis=-1)            # [H, T, T]
+    ctx = g.add("MatMul", [probs, heads(v, "v")])          # [H, T, hd]
+    ctx = g.add("Transpose", [ctx], perm=[1, 0, 2])
+    ctx = g.reshape(ctx, [1, t, n_head * head_dim])
+    out_k = np.asarray(p["out"]["kernel"],
+                       np.float32).reshape(n_head * head_dim, d_model)
+    return g.dense3d(ctx, out_k, np.asarray(p["out"]["bias"], np.float32),
+                     f"{hint}_out")
+
+
+def _conv_module(g: _GraphBuilder, x: str, p: dict, stats: dict, t: int,
+                 hint: str) -> str:
+    """ConvolutionModule (models/architectures.py:407-422): LN -> pointwise
+    2D expand -> GLU -> depthwise SAME conv over T -> BN -> swish ->
+    pointwise. Pointwise (1,)-convs are emitted as MatMuls."""
+    d = p["LayerNorm_0"]["scale"].shape[0]
+    h = g.layer_norm(x, p["LayerNorm_0"]["scale"], p["LayerNorm_0"]["bias"],
+                     f"{hint}_ln")
+    h = g.dense3d(h, np.asarray(p["Conv_0"]["kernel"][0], np.float32),
+                  p["Conv_0"]["bias"], f"{hint}_pw1")      # [1, T, 2D]
+    a = g.slice_range(h, axis=-1, start=0, end=d)
+    b = g.slice_range(h, axis=-1, start=d, end=2 * d)
+    h = g.add("Mul", [a, g.add("Sigmoid", [b])])           # GLU
+    hT = g.add("Transpose", [h], perm=[0, 2, 1])           # [1, D, T]
+    dw = np.asarray(p["Conv_1"]["kernel"], np.float32)     # [k, 1, D]
+    ksz = dw.shape[0]
+    hT = g.conv(hT, _conv1d_kernel(dw), p["Conv_1"]["bias"], f"{hint}_dw",
+                pads=[(ksz - 1) // 2, ksz // 2], strides=[1], group=d)
+    hT = g.batch_norm(hT, p["BatchNorm_0"], stats["BatchNorm_0"],
+                      f"{hint}_bn")
+    hT = g.swish(hT)
+    h = g.add("Transpose", [hT], perm=[0, 2, 1])
+    return g.dense3d(h, np.asarray(p["Conv_2"]["kernel"][0], np.float32),
+                     p["Conv_2"]["bias"], f"{hint}_pw2")
+
+
+def _ff_module(g: _GraphBuilder, x: str, p: dict, hint: str) -> str:
+    """FeedForwardModule (models/architectures.py:425-435): LN -> 4x Dense
+    -> swish -> Dense (dropout is identity at inference)."""
+    h = g.layer_norm(x, p["LayerNorm_0"]["scale"], p["LayerNorm_0"]["bias"],
+                     f"{hint}_ln")
+    h = g.swish(g.dense3d(h, p["Dense_0"]["kernel"], p["Dense_0"]["bias"],
+                          f"{hint}_d0"))
+    return g.dense3d(h, p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+                     f"{hint}_d1")
+
+
+def _transformer_backbone(g: _GraphBuilder, x: str, params: dict,
+                          t: int) -> str:
+    """TransformerModel (models/architectures.py:257-276): scaled input
+    projection + sinusoidal positions, post-LN encoder layers (relu FFN),
+    mean-pool, Dense."""
+    from nanowakeword_tpu.models.architectures import sinusoidal_positions
+    d_in = params["Dense_0"]
+    d_model = d_in["kernel"].shape[1]
+    h = g.dense3d(x, d_in["kernel"], d_in["bias"], "tf_in")
+    h = g.const_mul(h, float(np.sqrt(d_model)), "tf_sqrtd")
+    pe = sinusoidal_positions(t, d_model)[None]            # [1, T, D]
+    h = g.add("Add", [h, g.init_tensor("tf_pe", pe)])
+    n_layers = len([k for k in params if k.startswith("PostLNEncoderLayer_")])
+    for i in range(n_layers):
+        lp = params[f"PostLNEncoderLayer_{i}"]
+        attn = _mhsa(g, h, lp["MultiHeadDotProductAttention_0"], t,
+                     f"tf{i}_attn")
+        h = g.layer_norm(g.add("Add", [h, attn]), lp["LayerNorm_0"]["scale"],
+                         lp["LayerNorm_0"]["bias"], f"tf{i}_ln0")
+        ff = g.add("Relu", [g.dense3d(h, lp["Dense_0"]["kernel"],
+                                      lp["Dense_0"]["bias"], f"tf{i}_ff0")])
+        ff = g.dense3d(ff, lp["Dense_1"]["kernel"], lp["Dense_1"]["bias"],
+                       f"tf{i}_ff1")
+        h = g.layer_norm(g.add("Add", [h, ff]), lp["LayerNorm_1"]["scale"],
+                         lp["LayerNorm_1"]["bias"], f"tf{i}_ln1")
+    pooled = g.reduce_mean(h, axes=[1])                    # [1, D]
+    d = params["Dense_1"]
+    return g.gemm(pooled, d["kernel"], d["bias"], "tf_out")
+
+
+def _conformer_backbone(g: _GraphBuilder, x: str, params: dict, stats: dict,
+                        t: int) -> str:
+    """ConformerModel (models/architectures.py:438-471): FF(1/2) + MHSA +
+    conv module + FF(1/2) blocks with final LN, mean-pool, Dense."""
+    d_in = params["Dense_0"]
+    h = g.dense3d(x, d_in["kernel"], d_in["bias"], "cf_in")
+    n_layers = len([k for k in params if k.startswith("ConformerBlock_")])
+    for i in range(n_layers):
+        bp = params[f"ConformerBlock_{i}"]
+        bs = stats[f"ConformerBlock_{i}"]
+        ff1 = _ff_module(g, h, bp["FeedForwardModule_0"], f"cf{i}_ff1")
+        h = g.add("Add", [h, g.const_mul(ff1, 0.5, f"cf{i}_half1")])
+        attn = _mhsa(g, h, bp["MultiHeadDotProductAttention_0"], t,
+                     f"cf{i}_attn")
+        h = g.add("Add", [h, attn])
+        conv = _conv_module(g, h, bp["ConvolutionModule_0"],
+                            bs["ConvolutionModule_0"], t, f"cf{i}_conv")
+        h = g.add("Add", [h, conv])
+        ff2 = _ff_module(g, h, bp["FeedForwardModule_1"], f"cf{i}_ff2")
+        h = g.add("Add", [h, g.const_mul(ff2, 0.5, f"cf{i}_half2")])
+        h = g.layer_norm(h, bp["LayerNorm_0"]["scale"],
+                         bp["LayerNorm_0"]["bias"], f"cf{i}_ln")
+    pooled = g.reduce_mean(h, axes=[1])
+    d = params["Dense_1"]
+    return g.gemm(pooled, d["kernel"], d["bias"], "cf_out")
+
+
+def _ebranchformer_backbone(g: _GraphBuilder, x: str, params: dict,
+                            stats: dict, t: int) -> str:
+    """EBranchformerModel (models/architectures.py:474-508): parallel
+    attention/conv branches merged by a sigmoid gate, post-LN, FF."""
+    d_in = params["Dense_0"]
+    h = g.dense3d(x, d_in["kernel"], d_in["bias"], "eb_in")
+    one = None
+    n_layers = len([k for k in params if k.startswith("EBranchformerBlock_")])
+    for i in range(n_layers):
+        bp = params[f"EBranchformerBlock_{i}"]
+        bs = stats[f"EBranchformerBlock_{i}"]
+        attn_in = g.layer_norm(h, bp["LayerNorm_0"]["scale"],
+                               bp["LayerNorm_0"]["bias"], f"eb{i}_ln0")
+        attn = _mhsa(g, attn_in, bp["MultiHeadDotProductAttention_0"], t,
+                     f"eb{i}_attn")
+        conv = _conv_module(g, h, bp["ConvolutionModule_0"],
+                            bs["ConvolutionModule_0"], t, f"eb{i}_conv")
+        gate = g.add("Sigmoid", [g.dense3d(conv, bp["Dense_0"]["kernel"],
+                                           bp["Dense_0"]["bias"],
+                                           f"eb{i}_gate")])
+        if one is None:
+            one = g.init_tensor("c_one_eb", np.float32(1.0))
+        merged = g.add("Add", [
+            g.add("Mul", [attn, gate]),
+            g.add("Mul", [conv, g.add("Sub", [one, gate])])])
+        h = g.layer_norm(g.add("Add", [h, merged]),
+                         bp["LayerNorm_1"]["scale"],
+                         bp["LayerNorm_1"]["bias"], f"eb{i}_ln1")
+        h = g.add("Add", [h, _ff_module(g, h, bp["FeedForwardModule_0"],
+                                        f"eb{i}_ff")])
+    pooled = g.reduce_mean(h, axes=[1])
+    d = params["Dense_1"]
+    return g.gemm(pooled, d["kernel"], d["bias"], "eb_out")
+
+
 def build_onnx(model, input_shape=None) -> bytes:
     """A Model (models/model.py) -> serialized ONNX ModelProto bytes."""
     model_type = model.model_type
     if model_type not in SUPPORTED_TYPES:
         raise ValueError(
             f"ONNX export supports {SUPPORTED_TYPES}; '{model_type}' models "
-            "deploy via the .nww artifact (recurrent/attention control flow "
-            "is served by the jitted runtime, not an ONNX graph).")
+            "deploy via the .nww artifact (custom modules and explicit-carry "
+            "streaming models are served by the jitted runtime).")
     input_shape = tuple(input_shape or model.input_shape)
     activation = str(model.config.get("activation_function", "relu"))
     params = {k: jax_to_np(v) for k, v in model.params.items()}
@@ -355,10 +674,31 @@ def build_onnx(model, input_shape=None) -> bytes:
     elif model_type == "quartznet":
         emb = _quartznet_backbone(g, x, params["backbone"],
                                   stats.get("backbone", {}))
-    else:
+    elif model_type == "bcresnet":
         emb = _bcresnet_backbone(g, x, params["backbone"],
                                  stats.get("backbone", {}), activation,
                                  input_shape)
+    elif model_type in ("lstm", "gru"):
+        emb = _rnn_backbone(g, x, params["backbone"], model_type,
+                            int(input_shape[0]))
+    elif model_type == "rnn":
+        emb = _rnn_backbone(g, x, params["backbone"], "lstm",
+                            int(input_shape[0]))
+    elif model_type == "crnn":
+        emb = _crnn_backbone(g, x, params["backbone"],
+                             stats.get("backbone", {}), model.config,
+                             activation, input_shape)
+    elif model_type == "transformer":
+        emb = _transformer_backbone(g, x, params["backbone"],
+                                    int(input_shape[0]))
+    elif model_type == "conformer":
+        emb = _conformer_backbone(g, x, params["backbone"],
+                                  stats.get("backbone", {}),
+                                  int(input_shape[0]))
+    else:
+        emb = _ebranchformer_backbone(g, x, params["backbone"],
+                                      stats.get("backbone", {}),
+                                      int(input_shape[0]))
 
     # shared head (models/model.py:152-175): Dense -> act -> Dense -> sigmoid
     h = g.gemm(emb, params["Dense_0"]["kernel"], params["Dense_0"]["bias"],

@@ -456,12 +456,43 @@ class _RemoteSession:
                 return 0.0
             return score
 
-    # NanoInterpreter session interface
-    def run(self, features: np.ndarray, carry=None):
+    def _feed_score(self, feed: dict) -> float:
+        """Score one ORT-style input_feed dict ({"input": feats} or
+        {"audio": int16} — the reference's two remote payload kinds)."""
+        if "audio" in feed:
+            return self._exchange(encode_audio(np.asarray(feed["audio"])))
+        arr = np.asarray(next(iter(feed.values())), np.float32)
+        if arr.ndim == 2:
+            arr = arr[None]
+        return self._exchange(encode_features(arr))
+
+    # NanoInterpreter session interface + reference/ORT parity
+    def run(self, features, carry=None, run_options=None):
+        """Two call conventions:
+
+        * internal session interface (NanoInterpreter):
+              run(features[, carry]) -> (score, carry)
+        * onnxruntime ``InferenceSession`` parity, matching the reference
+          `_RemoteSession.run` (`remote_verifier.py:576-618`):
+              run(output_names, {"input": feats}) -> [np.array([[[score]]])]
+          (also accepts run({"audio": x}) / run({"input": feats}) directly)
+        """
+        if features is None and isinstance(carry, dict):
+            return [np.asarray([[[self._feed_score(carry)]]], np.float32)]
+        if isinstance(features, dict):
+            return [np.asarray([[[self._feed_score(features)]]], np.float32)]
         features = np.asarray(features, np.float32)
         if features.ndim == 2:
             features = features[None]
         return self._exchange(encode_features(features)), None
+
+    def get_inputs(self):
+        """ORT-session parity (reference `remote_verifier.py:568-574`)."""
+        class _FakeInput:
+            def __init__(self, name, shape):
+                self.name = name
+                self.shape = shape
+        return [_FakeInput("input", ["batch_size", self.n_frames, 96])]
 
     def run_audio(self, audio: np.ndarray) -> float:
         return self._exchange(encode_audio(np.asarray(audio)))

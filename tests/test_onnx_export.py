@@ -53,6 +53,13 @@ def _randomize_batch_stats(model, seed=7):
     ("cnn", "relu"), ("cnn", "gelu"),
     ("tcn", "relu"), ("quartznet", "relu"),
     ("bcresnet", "relu"), ("bcresnet", "silu"),
+    # recurrent families: native bidirectional ONNX GRU/LSTM nodes,
+    # 2 stacked layers (n_blocks=2)
+    ("lstm", "relu"), ("gru", "relu"), ("rnn", "relu"),
+    ("crnn", "relu"), ("crnn", "silu"),
+    # attention families: MHSA lowered to MatMul/Softmax
+    ("transformer", "relu"), ("conformer", "relu"),
+    ("e_branchformer", "relu"),
 ])
 def test_score_parity_with_live_model(model_type, activation):
     model = _randomize_batch_stats(_model(model_type, activation))
@@ -115,9 +122,59 @@ def test_file_roundtrip_and_structure(tmp_path):
 
 def test_pipeline_entry_unsupported_type_returns_none(tmp_path, capsys):
     model = _model("dnn")
-    model.model_type = "gru"      # simulate an unsupported family
+    # explicit-carry streaming models stay .nww-only by design
+    model.model_type = "streaming_gru"
     out = export_onnx_model(model, (16, 96), {}, "m", str(tmp_path))
     assert out is None
+
+
+def test_crnn_gru_cell_custom_channels():
+    """CRNN with the GRU cell and a non-default conv stack round-trips."""
+    config = {"activation_function": "relu", "embedding_dim": 16,
+              "crnn_cnn_channels": [8, 16], "crnn_rnn_type": "gru"}
+    model = Model(config=config, model_name="onnx_crnn",
+                  input_shape=(16, 96), model_type="crnn", layer_dim=24,
+                  n_blocks=1, dropout_prob=0.0)
+    model = _randomize_batch_stats(model)
+    data = build_onnx(model)
+    feats = np.random.default_rng(6).normal(
+        size=(1, 16, 96)).astype(np.float32)
+    got = onnx_eval.run(data, {"features": feats})["score"]
+    np.testing.assert_allclose(got, _score_jax(model, feats), atol=1e-5)
+
+
+def test_rnn_matches_onnx_spec_gate_order():
+    """The GRU weight repack is validated against an independent
+    spec-faithful numpy GRU fed the RAW FastGRU weights (torch gate order):
+    if the (r,z,n)->(z,r,n) reorder or bias split were wrong, these would
+    diverge on random weights."""
+    model = _model("gru", layer_dim=8, n_blocks=1)
+    p = model.params["backbone"]["BiRNN_0"]["FastGRU_0"]
+    K = np.asarray(p["input_proj"]["kernel"], np.float32)
+    bi = np.asarray(p["input_proj"]["bias"], np.float32)
+    Rk = np.asarray(p["recurrent_kernel"], np.float32)
+    br = np.asarray(p["recurrent_bias"], np.float32)
+    H = Rk.shape[0]
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 96)).astype(np.float32)
+
+    # direct FastGRU recurrence (models/fast_rnn.py:40-48)
+    h = np.zeros(H, np.float32)
+    want = []
+    for t in range(5):
+        xg = x[t] @ K + bi
+        hg = h @ Rk + br
+        r = 1 / (1 + np.exp(-(xg[:H] + hg[:H])))
+        z = 1 / (1 + np.exp(-(xg[H:2 * H] + hg[H:2 * H])))
+        n = np.tanh(xg[2 * H:] + r * hg[2 * H:])
+        h = (1 - z) * n + z * h
+        want.append(h.copy())
+
+    from nanowakeword_tpu.export.onnx_eval import _gru_direction
+    from nanowakeword_tpu.export.onnx_export import _pack_gru
+    W, R, B, _ = _pack_gru(p)
+    got = _gru_direction(x[:, None, :], W, R, B, linear_before_reset=1)
+    np.testing.assert_allclose(got[:, 0], np.stack(want), atol=1e-5)
 
 
 def test_pipeline_entry_writes_file(tmp_path):

@@ -150,6 +150,17 @@ class TestRemoteSession:
         score, carry = session.run(feats)
         assert 0.0 <= score <= 1.0 and carry is None
         assert session.feature_length == 16
+
+        # onnxruntime-InferenceSession parity: the reference's direct-user
+        # convention run(None, {"input": feats}) -> [array([[[score]]])]
+        # (reference remote_verifier.py:576-618)
+        out = session.run(None, {"input": feats})
+        assert isinstance(out, list) and out[0].shape == (1, 1, 1)
+        assert abs(float(out[0].reshape(())) - score) < 1e-6
+        out2 = session.run({"input": feats})
+        assert out2[0].shape == (1, 1, 1)
+        inp = session.get_inputs()[0]
+        assert inp.name == "input" and inp.shape[-1] == 96
         session.close()
 
 
