@@ -70,8 +70,10 @@ def bench_throughput(batch: int = 4096, iters: int = 32) -> float:
 
     fwd, variables, enc_vars = build_forward()
     rng = np.random.default_rng(0)
+    # int16 PCM — the reference pipeline's native dtype (16 kHz int16 wavs);
+    # the fused mel kernel consumes it directly (half the HBM reads vs f32)
     audio_host = np.asarray(rng.integers(-16000, 16000, (batch, 16000)),
-                            np.float32)
+                            np.int16)
     # Inputs live on device (a production input pipeline double-buffers
     # transfers); iterations are chained by a data dependency inside ONE
     # jitted fori_loop so async dispatch cannot hide work from the timer.
@@ -84,8 +86,11 @@ def bench_throughput(batch: int = 4096, iters: int = 32) -> float:
         def body(_, carry):
             # fold the previous result into the input with a non-zero (but
             # negligible) coupling: a literal *0 gets constant-folded and the
-            # whole loop body hoisted as invariant.
-            out = fwd(variables, enc_vars, audio + carry * jnp.float32(1e-30))
+            # whole loop body hoisted as invariant. (1e-30 rounds to 0 in the
+            # int16 cast, so the fed values are unchanged — but the data
+            # dependency on `carry` is real to XLA.)
+            coupled = audio + (carry * jnp.float32(1e-30)).astype(audio.dtype)
+            out = fwd(variables, enc_vars, coupled)
             return out.sum().astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

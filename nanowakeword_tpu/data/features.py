@@ -198,9 +198,13 @@ class AudioFeatures:
         if x.ndim == 1:
             x = x[None]
         sharding = self._data_sharding()
+        # int16 PCM flows through unconverted: half the host->device bytes
+        # and half the kernel's HBM reads (the fused mel kernel converts in
+        # VMEM; values are bit-identical — int16 -> f32 is exact)
+        in_dtype = np.int16 if x.dtype == np.int16 else np.float32
         outs = []
         for i in range(0, x.shape[0], batch_size):
-            batch = np.asarray(x[i:i + batch_size], np.float32)
+            batch = np.asarray(x[i:i + batch_size], in_dtype)
             n = batch.shape[0]
             if sharding is not None:
                 n_dev = len(jax.devices())
@@ -208,7 +212,7 @@ class AudioFeatures:
                 if pad:
                     batch = np.concatenate(
                         [batch, np.zeros((pad,) + batch.shape[1:],
-                                         np.float32)])
+                                         in_dtype)])
                 dev_batch = jax.device_put(batch, sharding)
                 outs.append(np.asarray(self._jit_embed(dev_batch))[:n])
             else:

@@ -1,11 +1,13 @@
 """Fused Pallas TPU kernel for the log-mel frontend (hop-DFT, N_FFT=480).
 
 One pipelined pass over the hop-block rows of the audio, reading each sample
-once (as bfloat16), with all intermediates in VMEM:
+once, with all intermediates in VMEM:
 
-    rows  = left-padded audio, reshaped [B, T_rows, 160]   (one hop per row)
+    rows  = RAW audio, reshaped [B, T, 160] (free — no pad, no copy)
     S     = rows_tile @ B0          (MXU: ONE cos + ONE sin dot per row)
-    X[t]  = S[t] + phase_1*S[t+1] + phase_2*S[t+2]         (VPU, sublane rolls)
+    X[t]  = phase2*S[t] + phase1*S[t-1] + S[t-2]           (VPU, sublane rolls;
+            the t-1/t-2 taps of the first two frames are the stream's zero
+            left-context, masked in-kernel — no host-side LEFT_PAD copy)
     Xw    = 0.5 X - 0.25 X(f-1) - 0.25 X(f+1)              (VPU, lane rolls)
     power = |Xw|^2                                          (VPU)
     mel   = power @ filterbank                              (MXU)
@@ -23,31 +25,30 @@ value-fetch sync):
   * K=480 single-dot variants are NOT compilable: Mosaic rejects both
     dynamic_rotate and lane-concatenate on 160-lane bf16 vectors, so the
     [ft, 480] frame operand cannot be built in VMEM.
-  * a fused cos|sin [160, 256] basis (3 dots instead of 6) measured +2.8% —
-    marginal; not adopted.
-  * v4 (this file, N_FFT=480): the hop-DFT factorization moves the DFT to
-    ONE cos+sin dot pair per hop ROW — each row's spectrum is reused by the
-    3 frames overlapping it via the analytic phase combine, and the Hann
-    window becomes an exact 3-tap lane convolution (ops/mel.py). 3x fewer
-    DFT MXU passes than v2; the added VPU work stays in registers.
-    Measured (same-day A/B, v5e, batch 4096): v4 1,046k clips/s vs v2
-    1,010k — parity-plus, NOT the hoped 3x: the kernel is VPU/overhead
-    bound, not MXU bound. Kept for the simpler math, the exact (0.0 max
-    err on hardware) XLA==Pallas==streaming agreement, and the MXU
-    headroom it leaves for fusing the encoder's first conv in later.
-    The XLA hop-DFT route is 431k vs the old frame-matrix 880k (the
-    phase-combine materializes [B,T,128] intermediates in HBM); that
-    route is the differentiable/CPU twin, not a perf path — every bulk
-    inference call goes through this kernel.
+  * v4 (N_FFT=480): the hop-DFT factorization — ONE cos+sin dot pair per
+    hop ROW, each row's spectrum reused by the 3 overlapping frames via the
+    analytic phase combine, Hann as an exact 3-tap lane convolution
+    (ops/mel.py). 1,046k clips/s vs v2's 1,010k same-day: parity-plus, NOT
+    the hoped 3x — the kernel is input-traffic bound, not MXU bound.
+  * v5 (this file): kill the input prep. v4 spent 0.38 us/clip (of 0.96)
+    in the XLA pad+reshape+bf16-convert pass BEFORE the kernel (the kernel
+    proper measured 0.23 us/clip on prebuilt rows). v5 feeds the RAW audio
+    (any of int16/float32/bfloat16) reshaped [B, T, 160] — a free
+    reshape — converts dtype in VMEM, and realizes the zero left-context
+    by masking the rolled-in rows of the first two frames in-kernel
+    (prev-tile products for multi-tile shapes). int16 input halves HBM
+    reads again; values are bit-identical to the XLA route (int16 -> f32
+    is exact, f32 -> bf16 rounds once, same as before).
 
-The phase combine's row shifts reuse v2's boundary trick: rows t+1, t+2
-past the tile edge come from the NEXT tile's dot products, selected with an
-iota mask (single-tile shapes — 1-2 s clips — skip it entirely). The Hann
-lane taps use pltpu.roll on the 128-lane f32 products (supported; the
-bf16/160-lane rotates that blocked the K=480 route are not).
+The phase combine's row shifts roll DOWN (frame t reads rows t-1, t-2):
+wrapped rows are replaced by the PREVIOUS tile's products, selected with an
+iota mask, and zeroed on the first tile (single-tile shapes — 1-2 s clips —
+skip the second operand entirely). The Hann lane taps use pltpu.roll on the
+128-lane f32 products.
 
-Numerics match ops/mel.py (same constants, same op order); equivalence is
-tested in tests/test_mel_pallas.py (interpret mode) and on hardware.
+Numerics match ops/mel.py exactly (same constants, same op order, same
+one-step rounding); equivalence is tested in tests/test_mel_pallas.py
+(interpret mode) and on hardware.
 """
 
 from __future__ import annotations
@@ -63,37 +64,49 @@ from jax.experimental.pallas import tpu as pltpu
 from nanowakeword_tpu.ops import mel as melops
 
 
-def _make_kernel(rows_per_cell: int, ft: int, with_next: bool):
+def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
     """Kernel over one (R-batch-rows, ft-frames) tile."""
     nb = melops.N_BINS
 
-    def shifted(p, q, shift):
-        # p rolled so row t reads row t+shift; wrapped rows come from the
-        # next tile's products q (or stay as wrap garbage in the padding
-        # frames of a single-tile shape).
-        r = pltpu.roll(p, ft - shift, 0)
-        if with_next:
-            idx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
-            r = jnp.where(idx < ft - shift, r, pltpu.roll(q, ft - shift, 0))
-        return r
+    def shifted(p, q, shift, first_tile):
+        # p rolled down so frame t reads row t-shift; the first `shift`
+        # frames read the PREVIOUS tile's last rows (q), or the stream's
+        # zero left-context on the first tile.
+        r = pltpu.roll(p, shift, 0)
+        idx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        if with_prev:
+            prev = jnp.where(first_tile, 0.0, pltpu.roll(q, shift, 0))
+            return jnp.where(idx >= shift, r, prev)
+        return jnp.where(idx >= shift, r, 0.0)
 
-    def body(a, b, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref, r):
+    def body(a, b, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref, r, first_tile):
         s_re = jnp.dot(a, b0c_ref[:], preferred_element_type=jnp.float32)
         s_im = jnp.dot(a, b0s_ref[:], preferred_element_type=jnp.float32)
-        if with_next:
-            q_re = jnp.dot(b, b0c_ref[:], preferred_element_type=jnp.float32)
-            q_im = jnp.dot(b, b0s_ref[:], preferred_element_type=jnp.float32)
+        if with_prev:
+            q_re = jnp.dot(b, b0c_ref[:],
+                           preferred_element_type=jnp.float32)
+            q_im = jnp.dot(b, b0s_ref[:],
+                           preferred_element_type=jnp.float32)
         else:
             q_re = q_im = None
 
-        f_re, f_im = s_re, s_im
-        for k in (1, 2):
-            pr = ph_ref[2 * (k - 1):2 * (k - 1) + 1]        # [1, nb]
-            pi = ph_ref[2 * (k - 1) + 1:2 * (k - 1) + 2]
-            rk_re = shifted(s_re, q_re, k)
-            rk_im = shifted(s_im, q_im, k)
-            f_re = f_re + pr * rk_re - pi * rk_im
-            f_im = f_im + pr * rk_im + pi * rk_re
+        # frame t = S[t-2] + ph1*S[t-1] + ph2*S[t]  (ops/mel.py, with the
+        # padded-row index p = raw row + 2: phase_k multiplies padded row
+        # t+k, i.e. raw row t+k-2). Accumulation ORDER matches
+        # _log_mel_from_rows term-for-term so the f32 rounding is identical
+        # and hardware output is bit-equal to the XLA route.
+        ph1_re = ph_ref[0:1]
+        ph1_im = ph_ref[1:2]
+        ph2_re = ph_ref[2:3]
+        ph2_im = ph_ref[3:4]
+        f_re = shifted(s_re, q_re, 2, first_tile)
+        f_im = shifted(s_im, q_im, 2, first_tile)
+        r1_re = shifted(s_re, q_re, 1, first_tile)
+        r1_im = shifted(s_im, q_im, 1, first_tile)
+        f_re = f_re + ph1_re * r1_re - ph1_im * r1_im
+        f_im = f_im + ph1_re * r1_im + ph1_im * r1_re
+        f_re = f_re + ph2_re * s_re - ph2_im * s_im
+        f_im = f_im + ph2_re * s_im + ph2_im * s_re
 
         # analytic Hann: 3-tap lane convolution (ops/mel.py hann_taps)
         lane = jax.lax.broadcasted_iota(jnp.int32, f_re.shape, 1)
@@ -110,16 +123,27 @@ def _make_kernel(rows_per_cell: int, ft: int, with_next: bool):
         out_ref[r, :, :] = (jnp.log10(jnp.maximum(mel, 0.0) + melops.MEL_EPS)
                             + melops.LOG_OFFSET)
 
-    if with_next:
+    def convert(block):
+        # one cell-level elementwise convert (int16/f32 -> bf16 in VMEM)
+        # instead of R per-row converts
+        if block.dtype == jnp.bfloat16:
+            return block
+        return block.astype(jnp.float32).astype(jnp.bfloat16)
+
+    if with_prev:
         def kernel(a_ref, b_ref, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref):
+            first = pl.program_id(1) == 0
+            a = convert(a_ref[:])
+            b = convert(b_ref[:])
             for r in range(rows_per_cell):
-                body(a_ref[r], b_ref[r], b0c_ref, b0s_ref, ph_ref, fb_ref,
-                     out_ref, r)
+                body(a[r], b[r], b0c_ref, b0s_ref, ph_ref, fb_ref,
+                     out_ref, r, first)
     else:
         def kernel(a_ref, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref):
+            a = convert(a_ref[:])
             for r in range(rows_per_cell):
-                body(a_ref[r], None, b0c_ref, b0s_ref, ph_ref, fb_ref,
-                     out_ref, r)
+                body(a[r], None, b0c_ref, b0s_ref, ph_ref, fb_ref,
+                     out_ref, r, None)
     return kernel
 
 
@@ -129,7 +153,10 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
                         rows_per_cell: int = 32):
     """[B, n] int16-scale audio -> [B, n//HOP, 32], fused on-chip.
 
-    Same contract as ops/mel.mel_frontend (left-padded, n//HOP frames).
+    Same contract as ops/mel.mel_frontend (zero left context, n//HOP
+    frames). Accepts int16, float32, or bfloat16 input; int16 is the
+    cheapest (half the HBM reads) and is what the product's audio decode
+    produces (utils/audio_io.py).
     """
     if x.ndim == 1:
         x = x[None]
@@ -144,17 +171,17 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
     r_cell = next(d for d in range(min(rows_per_cell, b), 0, -1)
                   if b % d == 0)
 
-    single = (t + 2) <= 128
-    ft = -(-max(t + 2, 8) // 8) * 8 if single else 128
-    grid_t = 1 if single else -(-t // ft)
-    # rows: [B, T_rows, HOP]; frame t reads rows t, t+1, t+2 of the
-    # LEFT_PAD-shifted layout. Multi-tile mode keeps one extra zero tile so
-    # the (j+1) BlockSpec stays in bounds on the last tile.
-    t_rows = ft * (grid_t if single else grid_t + 1)
-    pad_tail = t_rows * melops.HOP - n - melops.LEFT_PAD
-    padded = jnp.pad(x.astype(jnp.float32),
-                     ((0, 0), (melops.LEFT_PAD, pad_tail)))
-    rows = padded.reshape(b, t_rows, melops.HOP).astype(jnp.bfloat16)
+    single = t <= 128
+    if single:
+        ft, grid_t = t, 1
+        rows = x.reshape(b, t, melops.HOP)            # free reshape
+    else:
+        ft = 128
+        grid_t = -(-t // ft)
+        pad_rows = grid_t * ft - t
+        if pad_rows:
+            x = jnp.pad(x, ((0, 0), (0, pad_rows * melops.HOP)))
+        rows = x.reshape(b, grid_t * ft, melops.HOP)
 
     b0c, b0s, p_re, p_im, fb = melops._hopdft_constants("bfloat16")
     nb = melops.N_BINS
@@ -178,16 +205,19 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
     in_specs = [tile_spec]
     operands = [rows]
     if not single:
-        in_specs.append(pl.BlockSpec((r_cell, ft, melops.HOP),
-                                     lambda i, j: (i, j + 1, 0),
-                                     memory_space=pltpu.VMEM))
+        # previous frame tile (clamped on the first tile, where the kernel
+        # zero-masks the rolled-in rows instead)
+        in_specs.append(pl.BlockSpec(
+            (r_cell, ft, melops.HOP),
+            lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+            memory_space=pltpu.VMEM))
         operands.append(rows)
     in_specs.extend(const_specs)
     operands.extend([jnp.asarray(b0c), jnp.asarray(b0s), phase,
                      jnp.asarray(fb)])
 
     out = pl.pallas_call(
-        _make_kernel(r_cell, ft, with_next=not single),
+        _make_kernel(r_cell, ft, with_prev=not single),
         grid=(b // r_cell, grid_t),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((r_cell, ft, melops.N_MELS),
@@ -197,7 +227,7 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
                                        jnp.float32),
         interpret=interpret,
     )(*operands)
-    return out[:, :t]
+    return out if single else out[:, :t]
 
 
 def mel_frontend_fused(x: jnp.ndarray) -> jnp.ndarray:

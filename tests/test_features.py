@@ -41,6 +41,14 @@ class TestBatch:
         out = af.embed_clips(x, batch_size=2)
         assert out.shape[0] == 5
 
+    def test_int16_input_matches_float32(self, af):
+        """int16 PCM (the product's native decode dtype) flows through
+        unconverted and embeds identically to the same values as float."""
+        x16 = np.stack([_audio(16000, s) for s in range(2)]).astype(np.int16)
+        a = af.embed_clips(x16)
+        b = af.embed_clips(x16.astype(np.float32))
+        np.testing.assert_array_equal(a, b)
+
 
 class TestStreaming:
     def test_returns_accumulated_below_chunk(self, af):

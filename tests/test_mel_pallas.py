@@ -51,6 +51,17 @@ def test_rows_per_cell_invariance(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_int16_input_matches_float(rng):
+    """int16 audio (the product's native PCM dtype) gives bit-identical
+    output to the same values fed as float32: int16 -> f32 is exact and
+    the single f32 -> bf16 rounding happens in the same place."""
+    x = rng.integers(-20000, 20000, (4, 16000)).astype(np.int16)
+    a = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True))
+    b = np.asarray(mel_frontend_pallas(jnp.asarray(x.astype(np.float32)),
+                                       interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_1d_input_promoted(rng):
     x = rng.integers(-20000, 20000, 16000).astype(np.float32)
     out = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True))
