@@ -1,0 +1,273 @@
+"""ONNX graph -> jittable JAX function (the TPU-native ONNX runtime).
+
+The reference serves exported `.onnx` wake-word models through onnxruntime
+CPU sessions (`nanointerpreter.py:873-877`). Here the same files compile
+onto the TPU: the graph is parsed by the bundled protobuf reader
+(onnx_proto.py) and translated node-by-node into a pure jnp/lax function
+that `jax.jit` fuses like any native model. This gives NanoInterpreter
+first-class `.onnx` loading (interpreter/nanointerpreter.py) with identical
+scores to the numpy evaluator (onnx_eval.py) and onnxruntime.
+
+Supported ops = everything onnx_export.py emits (Gemm/Conv/MaxPool/
+LayerNormalization/BatchNormalization/activations/shape ops/MatMul/Softmax/
+Concat + native GRU/LSTM) — which covers all 11 exportable zoo families and
+the reference's own DNN-family exports.
+
+Shape-bearing inputs (Reshape shapes, Slice indices) must be initializers —
+true for every graph this package writes and for torch.onnx.export graphs
+of the reference's static-shape models.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanowakeword_tpu.export import onnx_proto as P
+
+
+def _conv(x, w, b, pads, strides, dilations, group):
+    """ONNX Conv on NCL/NCHW inputs via lax.conv_general_dilated."""
+    rank = x.ndim - 2
+    if rank == 1:                       # run 1D as H=1 2D (same as onnx_eval)
+        y = _conv(x[:, :, None, :], w[:, :, None, :], b,
+                  [0, pads[0], 0, pads[1]], [1, strides[0]],
+                  [1, dilations[0]], group)
+        return y[:, :, 0, :]
+    pt, pl_, pb, pr = pads
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w),
+        window_strides=tuple(strides),
+        padding=((pt, pb), (pl_, pr)),
+        rhs_dilation=tuple(dilations),
+        feature_group_count=group,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if b is not None:
+        y = y + jnp.asarray(b)[None, :, None, None]
+    return y
+
+
+def _maxpool(x, kernel, strides):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, 1) + tuple(kernel), (1, 1) + tuple(strides), "VALID")
+
+
+def _gru_dir(X, W, R, B, linear_before_reset):
+    """One direction of an ONNX GRU ((z,r,h) gate order) via lax.scan."""
+    H = R.shape[1]
+    Wb, Rb = B[:3 * H], B[3 * H:]
+    xg = X @ W.T + Wb                               # [T, N, 3H]
+    h0 = jnp.zeros((X.shape[1], H), jnp.float32)
+
+    def step(h, xg_t):
+        hg = h @ R.T
+        z = jax.nn.sigmoid(xg_t[:, :H] + hg[:, :H] + Rb[:H])
+        r = jax.nn.sigmoid(xg_t[:, H:2 * H] + hg[:, H:2 * H] + Rb[H:2 * H])
+        if linear_before_reset:
+            n = jnp.tanh(xg_t[:, 2 * H:] + r * (hg[:, 2 * H:] + Rb[2 * H:]))
+        else:
+            n = jnp.tanh(xg_t[:, 2 * H:] + (r * h) @ R[2 * H:].T
+                         + Rb[2 * H:])
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    _, ys = jax.lax.scan(step, h0, xg)
+    return ys
+
+
+def _lstm_dir(X, W, R, B):
+    """One direction of an ONNX LSTM ((i,o,f,c) gate order) via lax.scan."""
+    H = R.shape[1]
+    Wb, Rb = B[:4 * H], B[4 * H:]
+    xg = X @ W.T + (Wb + Rb)
+    init = (jnp.zeros((X.shape[1], H), jnp.float32),
+            jnp.zeros((X.shape[1], H), jnp.float32))
+
+    def step(carry, xg_t):
+        h, c = carry
+        gates = xg_t + h @ R.T
+        i = jax.nn.sigmoid(gates[:, :H])
+        o = jax.nn.sigmoid(gates[:, H:2 * H])
+        f = jax.nn.sigmoid(gates[:, 2 * H:3 * H])
+        g = jnp.tanh(gates[:, 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    _, ys = jax.lax.scan(step, init, xg)
+    return ys
+
+
+def _rnn_node(op, x, attrs):
+    X, W, R, B = x[0], jnp.asarray(x[1]), jnp.asarray(x[2]), jnp.asarray(x[3])
+    direction = attrs.get("direction", "forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    kw = {}
+    if op == "GRU":
+        kw["linear_before_reset"] = attrs.get("linear_before_reset", 0)
+    step = _gru_dir if op == "GRU" else _lstm_dir
+    dirs = []
+    for d in range(W.shape[0]):
+        Xd = X if (d == 0 and direction != "reverse") else X[::-1]
+        Y = step(Xd, W[d], R[d], B[d], **kw)
+        if d == 1 or direction == "reverse":
+            Y = Y[::-1]
+        dirs.append(Y)
+    return jnp.stack(dirs, axis=1)                  # [T, dirs, N, H]
+
+
+def _static(v, what):
+    if not isinstance(v, np.ndarray):
+        raise NotImplementedError(
+            f"{what} must be a graph initializer (static) for the TPU "
+            "ONNX runtime")
+    return v
+
+
+def make_jax_fn(model: Union[str, bytes, P.ParsedModel]):
+    """Parse an ONNX model -> (fn, graph): `fn(inputs_dict)` is a pure
+    jittable function returning {output_name: array}."""
+    if not isinstance(model, P.ParsedModel):
+        model = P.load_model(model)
+    g = model.graph
+    inits = {k: np.asarray(v) for k, v in g.initializers.items()}
+    input_names = [vi.name for vi in g.inputs]
+
+    def fn(inputs: Dict[str, jnp.ndarray]):
+        env: Dict[str, object] = dict(inits)
+        for name in input_names:
+            env[name] = inputs[name]
+        for nd in g.nodes:
+            a = nd.attrs
+            x = [env[i] for i in nd.inputs if i]
+            op = nd.op_type
+            if op == "Gemm":
+                A = jnp.asarray(x[0])
+                Bm = jnp.asarray(x[1])
+                if a.get("transA", 0):
+                    A = A.T
+                if a.get("transB", 0):
+                    Bm = Bm.T
+                y = a.get("alpha", 1.0) * (A @ Bm)
+                if len(x) > 2:
+                    y = y + a.get("beta", 1.0) * jnp.asarray(x[2])
+            elif op == "MatMul":
+                y = jnp.asarray(x[0]) @ jnp.asarray(x[1])
+            elif op == "Relu":
+                y = jax.nn.relu(jnp.asarray(x[0]))
+            elif op == "Sigmoid":
+                y = jax.nn.sigmoid(jnp.asarray(x[0]))
+            elif op == "Tanh":
+                y = jnp.tanh(jnp.asarray(x[0]))
+            elif op == "Softmax":
+                y = jax.nn.softmax(jnp.asarray(x[0]), axis=a.get("axis", -1))
+            elif op == "Add":
+                y = jnp.asarray(x[0]) + jnp.asarray(x[1])
+            elif op == "Sub":
+                y = jnp.asarray(x[0]) - jnp.asarray(x[1])
+            elif op == "Mul":
+                y = jnp.asarray(x[0]) * jnp.asarray(x[1])
+            elif op == "Div":
+                y = jnp.asarray(x[0]) / jnp.asarray(x[1])
+            elif op == "Concat":
+                y = jnp.concatenate([jnp.asarray(v) for v in x],
+                                    axis=a["axis"])
+            elif op == "Flatten":
+                axis = a.get("axis", 1)
+                shape = x[0].shape
+                y = jnp.asarray(x[0]).reshape(
+                    int(np.prod(shape[:axis] or (1,))), -1)
+            elif op == "Reshape":
+                y = jnp.asarray(x[0]).reshape(
+                    [int(d) for d in _static(x[1], "Reshape shape")])
+            elif op == "Transpose":
+                y = jnp.transpose(jnp.asarray(x[0]), a["perm"])
+            elif op == "LayerNormalization":
+                axis = a.get("axis", -1)
+                eps = a.get("epsilon", 1e-5)
+                v = jnp.asarray(x[0])
+                mean = v.mean(axis=axis, keepdims=True)
+                var = v.var(axis=axis, keepdims=True)
+                y = (v - mean) / jnp.sqrt(var + eps)
+                y = y * jnp.asarray(x[1]) + (jnp.asarray(x[2])
+                                             if len(x) > 2 else 0.0)
+            elif op == "Conv":
+                rank = x[0].ndim - 2
+                y = _conv(jnp.asarray(x[0]), x[1],
+                          x[2] if len(x) > 2 else None,
+                          a.get("pads", [0, 0] * rank),
+                          a.get("strides", [1] * rank),
+                          a.get("dilations", [1] * rank),
+                          a.get("group", 1))
+            elif op == "MaxPool":
+                y = _maxpool(jnp.asarray(x[0]), a["kernel_shape"],
+                             a.get("strides", a["kernel_shape"]))
+            elif op == "BatchNormalization":
+                scale, bias, mean, var = (jnp.asarray(v) for v in x[1:5])
+                eps = a.get("epsilon", 1e-5)
+                bshape = (1, -1) + (1,) * (x[0].ndim - 2)
+                y = ((jnp.asarray(x[0]) - mean.reshape(bshape))
+                     / jnp.sqrt(var.reshape(bshape) + eps)
+                     * scale.reshape(bshape) + bias.reshape(bshape))
+            elif op == "ReduceMean":
+                y = jnp.asarray(x[0]).mean(
+                    axis=tuple(a["axes"]),
+                    keepdims=bool(a.get("keepdims", 1)))
+            elif op == "Slice":
+                data = jnp.asarray(x[0])
+                starts = _static(x[1], "Slice starts")
+                ends = _static(x[2], "Slice ends")
+                axes = (_static(x[3], "Slice axes") if len(x) > 3
+                        else np.arange(len(starts)))
+                sl = [slice(None)] * data.ndim
+                for s, e, ax in zip(starts, ends, axes):
+                    sl[int(ax)] = slice(int(s),
+                                        None if e >= 2**31 else int(e))
+                y = data[tuple(sl)]
+            elif op in ("GRU", "LSTM"):
+                y = _rnn_node(op, x, a)
+            else:
+                raise NotImplementedError(
+                    f"op '{op}' not supported by the TPU ONNX runtime")
+            env[nd.outputs[0]] = y
+        return {vi.name: jnp.asarray(env[vi.name]) for vi in g.outputs}
+
+    return fn, g
+
+
+class OnnxJaxModel:
+    """A jit-compiled ONNX model (the onnxruntime InferenceSession
+    analogue, running on the session's JAX backend — TPU when present).
+
+    `input_shape`/`output_names` mirror what NanoInterpreter reads off an
+    ORT session (reference `nanointerpreter.py:150-168`)."""
+
+    def __init__(self, model: Union[str, bytes, P.ParsedModel]):
+        fn, graph = make_jax_fn(model)
+        self._jit = jax.jit(lambda feed: fn(feed))
+        self.graph = graph
+        self.input_name = graph.inputs[0].name
+        self.input_shape = list(graph.inputs[0].shape)
+        self.output_names = [vi.name for vi in graph.outputs]
+
+    @functools.cached_property
+    def _single_out(self):
+        return len(self.output_names) == 1
+
+    def __call__(self, feats) -> np.ndarray:
+        out = self._jit({self.input_name: jnp.asarray(feats, jnp.float32)})
+        return np.asarray(out[self.output_names[0]])
+
+    def run(self, output_names, input_feed, run_options=None):
+        """onnxruntime-compatible run()."""
+        del run_options
+        out = self._jit({k: jnp.asarray(v, jnp.float32)
+                         for k, v in input_feed.items()})
+        names = output_names or self.output_names
+        return [np.asarray(out[n]) for n in names]

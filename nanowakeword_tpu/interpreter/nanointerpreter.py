@@ -168,6 +168,40 @@ class _LocalSession:
         return np.asarray(probs).reshape(-1)
 
 
+class _OnnxSession:
+    """A jit-compiled session over an exported `.onnx` graph.
+
+    The interchange-format twin of _LocalSession: the graph (ours or a
+    reference torch.onnx export of the same op set) is translated to a pure
+    JAX function (export/onnx_jax.py) and compiled for the session backend.
+    Exported graphs already end in a Sigmoid, so `run` returns the score
+    probability directly — same contract as _LocalSession.run."""
+
+    def __init__(self, path: str):
+        from nanowakeword_tpu.export.onnx_jax import OnnxJaxModel
+        self._model = OnnxJaxModel(path)
+        self.stateful = False
+        self.mesh = None
+
+    @property
+    def feature_length(self) -> int:
+        # input [batch, T, 96] — same read as the reference's
+        # session.get_inputs()[0].shape[1] (nanointerpreter.py:161)
+        return int(self._model.input_shape[1])
+
+    def run(self, feats: np.ndarray, carry=None):
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim == 2:
+            feats = feats[None]
+        return float(self._model(feats).reshape(-1)[0]), None
+
+    def run_batch(self, feats: np.ndarray) -> np.ndarray:
+        """Exported graphs fix batch=1; score rows individually (the .nww
+        path is the bulk/serving format — see export/artifact.py)."""
+        return np.asarray([self.run(f)[0] for f in np.asarray(feats)],
+                          np.float32)
+
+
 class NanoInterpreter:
     """Main inference engine. Use `NanoInterpreter.load_model()`."""
 
@@ -186,8 +220,15 @@ class NanoInterpreter:
             if mdl_name in self.models:
                 logging.warning(f"Model '{mdl_name}' already loaded. Skipping.")
                 continue
-            header, model, enc_vars = load_nww(mdl_path)
-            session = _LocalSession(model, header)
+            if mdl_path.endswith(".onnx"):
+                # exported interchange graphs compile onto the JAX backend
+                # (export/onnx_jax.py) — the reference's .onnx models load
+                # here exactly like its ORT sessions (nanointerpreter.py:873)
+                session = _OnnxSession(mdl_path)
+                enc_vars = None
+            else:
+                header, model, enc_vars = load_nww(mdl_path)
+                session = _LocalSession(model, header)
             self.models[mdl_name] = session
             self.model_feature_length[mdl_name] = session.feature_length
             self.is_stateful[mdl_name] = session.stateful
@@ -356,8 +397,18 @@ class NanoInterpreter:
             else:
                 model_dir = os.path.dirname(os.path.abspath(main_path))
                 gate_name = stem + "_lite"
-                resolved_gate_path = os.path.join(model_dir,
-                                                  gate_name + EXTENSION)
+                # auto-discover `<stem>_lite` beside the model: the native
+                # artifact first, then the interchange `.onnx` (the
+                # reference's discovery target, nanointerpreter.py:443-487)
+                resolved_gate_path = None
+                for ext in (EXTENSION, ".onnx"):
+                    candidate = os.path.join(model_dir, gate_name + ext)
+                    if os.path.exists(candidate):
+                        resolved_gate_path = candidate
+                        break
+                if resolved_gate_path is None:
+                    resolved_gate_path = os.path.join(model_dir,
+                                                      gate_name + EXTENSION)
                 if not os.path.exists(resolved_gate_path):
                     logging.warning(
                         f"[NanoInterpreter] cascade=True but no lite model at "
