@@ -38,7 +38,13 @@ value-fetch sync):
     by masking the rolled-in rows of the first two frames in-kernel
     (prev-tile products for multi-tile shapes). int16 input halves HBM
     reads again; values are bit-identical to the XLA route (int16 -> f32
-    is exact, f32 -> bf16 rounds once, same as before).
+    is exact, f32 -> bf16 rounds once, same as before). 1,275k clips/s.
+  * v6 (tried, REJECTED): flatten (batch, frame) into one row axis and run
+    2 big [clips*T, 160] dots per cell with pos%T masks instead of R small
+    per-row dots — measured 1,069-1,096k (c=8/16) vs v5's 1,275k, and
+    c=32 exceeds the 16 MB scoped-VMEM limit: the monolithic cell body
+    holds ~8 live [M,128] f32 temporaries, while the per-row loop's small
+    temps let Mosaic pipeline rows through registers. Per-row wins.
 
 The phase combine's row shifts roll DOWN (frame t reads rows t-1, t-2):
 wrapped rows are replaced by the PREVIOUS tile's products, selected with an
