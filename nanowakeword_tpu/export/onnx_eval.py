@@ -80,13 +80,14 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
-def _gru_direction(X, W, R, B, linear_before_reset=1):
+def _gru_direction(X, W, R, B, linear_before_reset=1, h0=None):
     """One-direction ONNX GRU: X [T,N,F], W [3H,F], R [3H,H], B [6H]
     in (z,r,h) gate order -> Y [T,N,H]."""
     H = R.shape[1]
     Wb, Rb = B[:3 * H], B[3 * H:]
     xg = X @ W.T + Wb                                 # [T, N, 3H]
-    h = np.zeros((X.shape[1], H), np.float32)
+    h = (np.zeros((X.shape[1], H), np.float32) if h0 is None
+         else np.asarray(h0, np.float32))
     ys = np.empty(xg.shape[:2] + (H,), np.float32)
     for t in range(X.shape[0]):
         hg = h @ R.T
@@ -123,9 +124,11 @@ def _lstm_direction(X, W, R, B):
 
 
 def _rnn_node(op, x, attrs):
-    """GRU/LSTM node -> Y [T, num_dirs, N, H] (zero initial state, no
-    sequence_lens — the subset onnx_export.py emits)."""
+    """GRU/LSTM node -> (Y [T, num_dirs, N, H], Y_h [num_dirs, N, H])
+    (optional initial_h as the 5th present input; no sequence_lens — the
+    subset onnx_export.py emits)."""
     X, W, R, B = x[0], x[1], x[2], x[3]
+    initial_h = x[4] if len(x) > 4 else None
     direction = attrs.get("direction", "forward")
     if isinstance(direction, bytes):
         direction = direction.decode()
@@ -134,14 +137,18 @@ def _rnn_node(op, x, attrs):
     kw = {}
     if op == "GRU":
         kw["linear_before_reset"] = attrs.get("linear_before_reset", 0)
-    dirs = []
+    dirs, finals = [], []
     for d in range(W.shape[0]):
-        Xd = X if (d == 0 and direction != "reverse") else X[::-1]
+        reverse = d == 1 or direction == "reverse"
+        Xd = X[::-1] if reverse else X
+        if op == "GRU" and initial_h is not None:
+            kw["h0"] = initial_h[d]
         Y = step(Xd, W[d], R[d], B[d], **kw)
-        if d == 1 or direction == "reverse":
+        finals.append(Y[-1])                          # last processed state
+        if reverse:
             Y = Y[::-1]                               # align to input time
         dirs.append(Y)
-    return np.stack(dirs, axis=1)
+    return np.stack(dirs, axis=1), np.stack(finals, axis=0)
 
 
 def run(model: Union[str, bytes, P.ParsedModel],
@@ -233,8 +240,13 @@ def run(model: Union[str, bytes, P.ParsedModel],
             y = e / e.sum(axis=ax, keepdims=True)
         elif op == "Concat":
             y = np.concatenate(x, axis=a["axis"])
+        elif op == "Identity":
+            y = x[0]
         elif op in ("GRU", "LSTM"):
-            y = _rnn_node(op, x, a)
+            Y, Y_h = _rnn_node(op, x, a)
+            if len(nd.outputs) > 1 and nd.outputs[1]:
+                env[nd.outputs[1]] = np.asarray(Y_h, np.float32)
+            y = Y
         else:
             raise NotImplementedError(f"op '{op}' not supported by the "
                                       "built-in ONNX evaluator")

@@ -19,9 +19,14 @@ non-custom zoo families export:
   * attention: "transformer"/"conformer"/"e_branchformer" lower
     MultiHeadDotProductAttention to per-head MatMul/Softmax, GLU/conv
     modules to Conv + BatchNormalization, with sinusoidal positions baked
-    as an initializer.
+    as an initializer;
+  * stateful: "streaming_gru" exports a STATEFUL graph with explicit
+    `hidden_in`/`cell_in` inputs and `score`/`hidden_out`/`cell_out`
+    outputs — the reference interpreter's stateful-model convention
+    (`nanointerpreter.py:679-691,879-891`), so it streams there as-is.
 The shared WakeWordModule head is appended to every family; this covers
-the default pipeline's distilled "lite"/gate students and the whole zoo.
+the default pipeline's distilled "lite"/gate students and the whole zoo
+(12 families — everything except user-supplied `custom` modules).
 The `.nww` artifact (export/artifact.py) remains the native deploy path
 (streaming state, carries); ONNX is the interchange format.
 
@@ -49,7 +54,8 @@ from nanowakeword_tpu.utils.logger import print_error, print_info
 
 SUPPORTED_TYPES = ("dnn", "cnn", "tcn", "quartznet", "bcresnet",
                    "lstm", "gru", "rnn", "crnn",
-                   "transformer", "conformer", "e_branchformer")
+                   "transformer", "conformer", "e_branchformer",
+                   "streaming_gru")
 
 
 class _GraphBuilder:
@@ -479,6 +485,86 @@ def _crnn_backbone(g: _GraphBuilder, x: str, params: dict, stats: dict,
     return g.gemm(flat, d["kernel"], d["bias"], "crnn_out")
 
 
+def _pack_flax_gru(p: dict):
+    """flax nn.GRUCell params (ir/iz/in + hr/hz/hn; hr/hz bias-free) ->
+    one-direction ONNX GRU tensors W [1,3H,F], R [1,3H,H], B [1,6H] in
+    (z,r,n) gate order with linear_before_reset=1 semantics (the flax cell
+    computes n = tanh(in(x) + r*hn(h)) with hn's bias inside the reset
+    product — exactly ONNX's Rb_h placement)."""
+    def kern(name):
+        return np.asarray(p[name]["kernel"], np.float32)
+
+    def bias(name):
+        return np.asarray(p[name]["bias"], np.float32) if "bias" in p[name] \
+            else np.zeros(kern(name).shape[1], np.float32)
+
+    H = kern("hr").shape[0]
+    W = np.concatenate([kern("iz").T, kern("ir").T, kern("in").T], axis=0)
+    R = np.concatenate([kern("hz").T, kern("hr").T, kern("hn").T], axis=0)
+    B = np.concatenate([bias("iz"), bias("ir"), bias("in"),
+                        np.zeros(H, np.float32), np.zeros(H, np.float32),
+                        bias("hn")])
+    return W[None], R[None], B[None], H
+
+
+def build_onnx_stateful(model, input_shape=None) -> bytes:
+    """StreamingGRUModel -> stateful ONNX with explicit hidden threading.
+
+    Graph contract matches the reference's stateful-model convention
+    (`nanointerpreter.py:679-691,879-891`): inputs `input`/`hidden_in`/
+    `cell_in`, outputs `score` then the new hidden then the new cell state.
+    The GRU has no cell state, so `cell_in` passes through unchanged — the
+    graph loads and streams in the REFERENCE interpreter as-is."""
+    input_shape = tuple(input_shape or model.input_shape)
+    t = int(input_shape[0])
+    activation = str(model.config.get("activation_function", "relu"))
+    params = {k: jax_to_np(v) for k, v in model.params.items()}
+    rnn = params["backbone"]["UniRNN_0"]
+    n_layers = len([k for k in rnn if k.startswith("GRUCell_")])
+
+    g = _GraphBuilder()
+    xs = g.add("Transpose", ["input"], perm=[1, 0, 2])   # [T, 1, F]
+    h_outs = []
+    hidden = 0
+    for i in range(n_layers):
+        W, R, B, hidden = _pack_flax_gru(rnn[f"GRUCell_{i}"])
+        h0 = g.slice_range("hidden_in", axis=0, start=i, end=i + 1)
+        wn = g.init_tensor(f"sg{i}_W", W)
+        rn = g.init_tensor(f"sg{i}_R", R)
+        bn = g.init_tensor(f"sg{i}_B", B)
+        y, y_h = g.add("GRU", [xs, wn, rn, bn, "", h0], n_out=2,
+                       hidden_size=hidden, linear_before_reset=1)
+        xs = g.reshape(y, [t, 1, hidden])                # [T,1,1,H] squeeze
+        h_outs.append(y_h)
+    last = g.slice_last(xs, axis=0)                      # [1, 1, H]
+    flat = g.reshape(last, [1, hidden])
+    d = params["backbone"]["Dense_0"]
+    emb = g.gemm(flat, d["kernel"], d["bias"], "sg_out")
+    h = g.gemm(emb, params["Dense_0"]["kernel"], params["Dense_0"]["bias"],
+               "head0")
+    h = g.activation(h, activation)
+    logits = g.gemm(h, params["Dense_1"]["kernel"],
+                    params["Dense_1"]["bias"], "head1")
+    g.nodes.append(P.node("Sigmoid", [logits], ["score"], name="n_sigmoid"))
+    g.nodes.append(P.node("Concat", h_outs, ["hidden_out"],
+                          name="n_hout", axis=0))
+    g.nodes.append(P.node("Identity", ["cell_in"], ["cell_out"],
+                          name="n_cout"))
+
+    graph = P.graph(
+        g.nodes, name=f"{model.model_name}_streaming_gru",
+        inputs=[P.value_info("input", (1,) + input_shape),
+                P.value_info("hidden_in", (n_layers, 1, hidden)),
+                P.value_info("cell_in", (n_layers, 1, hidden))],
+        outputs=[P.value_info("score", (1, model.n_classes)),
+                 P.value_info("hidden_out", (n_layers, 1, hidden)),
+                 P.value_info("cell_out", (n_layers, 1, hidden))],
+        initializers=g.inits,
+        doc="nanowakeword_tpu stateful streaming_gru wake-word scorer")
+    return P.model(graph, opset=17,
+                   doc="exported by nanowakeword_tpu.export.onnx_export")
+
+
 # ---------------------------------------------------------------------------
 # Attention families — MHSA lowered to per-head MatMul/Softmax
 # ---------------------------------------------------------------------------
@@ -654,8 +740,10 @@ def build_onnx(model, input_shape=None) -> bytes:
     if model_type not in SUPPORTED_TYPES:
         raise ValueError(
             f"ONNX export supports {SUPPORTED_TYPES}; '{model_type}' models "
-            "deploy via the .nww artifact (custom modules and explicit-carry "
-            "streaming models are served by the jitted runtime).")
+            "deploy via the .nww artifact (custom user modules are served "
+            "by the jitted runtime).")
+    if model_type == "streaming_gru":
+        return build_onnx_stateful(model, input_shape=input_shape)
     input_shape = tuple(input_shape or model.input_shape)
     activation = str(model.config.get("activation_function", "relu"))
     params = {k: jax_to_np(v) for k, v in model.params.items()}

@@ -57,12 +57,15 @@ def _maxpool(x, kernel, strides):
         (1, 1) + tuple(kernel), (1, 1) + tuple(strides), "VALID")
 
 
-def _gru_dir(X, W, R, B, linear_before_reset):
+def _gru_dir(X, W, R, B, linear_before_reset, h0=None):
     """One direction of an ONNX GRU ((z,r,h) gate order) via lax.scan."""
     H = R.shape[1]
     Wb, Rb = B[:3 * H], B[3 * H:]
     xg = X @ W.T + Wb                               # [T, N, 3H]
-    h0 = jnp.zeros((X.shape[1], H), jnp.float32)
+    if h0 is None:
+        h0 = jnp.zeros((X.shape[1], H), jnp.float32)
+    else:
+        h0 = jnp.asarray(h0, jnp.float32)
 
     def step(h, xg_t):
         hg = h @ R.T
@@ -105,6 +108,7 @@ def _lstm_dir(X, W, R, B):
 
 def _rnn_node(op, x, attrs):
     X, W, R, B = x[0], jnp.asarray(x[1]), jnp.asarray(x[2]), jnp.asarray(x[3])
+    initial_h = x[4] if len(x) > 4 else None
     direction = attrs.get("direction", "forward")
     if isinstance(direction, bytes):
         direction = direction.decode()
@@ -112,14 +116,19 @@ def _rnn_node(op, x, attrs):
     if op == "GRU":
         kw["linear_before_reset"] = attrs.get("linear_before_reset", 0)
     step = _gru_dir if op == "GRU" else _lstm_dir
-    dirs = []
+    dirs, finals = [], []
     for d in range(W.shape[0]):
-        Xd = X if (d == 0 and direction != "reverse") else X[::-1]
+        reverse = d == 1 or direction == "reverse"
+        Xd = X[::-1] if reverse else X
+        if op == "GRU" and initial_h is not None:
+            kw["h0"] = initial_h[d]
         Y = step(Xd, W[d], R[d], B[d], **kw)
-        if d == 1 or direction == "reverse":
+        finals.append(Y[-1])
+        if reverse:
             Y = Y[::-1]
         dirs.append(Y)
-    return jnp.stack(dirs, axis=1)                  # [T, dirs, N, H]
+    # (Y [T, dirs, N, H], Y_h [dirs, N, H])
+    return jnp.stack(dirs, axis=1), jnp.stack(finals, axis=0)
 
 
 def _static(v, what):
@@ -230,8 +239,13 @@ def make_jax_fn(model: Union[str, bytes, P.ParsedModel]):
                     sl[int(ax)] = slice(int(s),
                                         None if e >= 2**31 else int(e))
                 y = data[tuple(sl)]
+            elif op == "Identity":
+                y = jnp.asarray(x[0])
             elif op in ("GRU", "LSTM"):
-                y = _rnn_node(op, x, a)
+                Y, Y_h = _rnn_node(op, x, a)
+                if len(nd.outputs) > 1 and nd.outputs[1]:
+                    env[nd.outputs[1]] = Y_h
+                y = Y
             else:
                 raise NotImplementedError(
                     f"op '{op}' not supported by the TPU ONNX runtime")

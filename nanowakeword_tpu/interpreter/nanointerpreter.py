@@ -180,8 +180,13 @@ class _OnnxSession:
     def __init__(self, path: str):
         from nanowakeword_tpu.export.onnx_jax import OnnxJaxModel
         self._model = OnnxJaxModel(path)
-        self.stateful = False
         self.mesh = None
+        # stateful detection by input name, exactly like the reference
+        # (nanointerpreter.py:879-891): hidden_in/cell_in ride the feed
+        self._state_shapes = {vi.name: [int(d) for d in vi.shape]
+                              for vi in self._model.graph.inputs
+                              if vi.name in ("hidden_in", "cell_in")}
+        self.stateful = "hidden_in" in self._state_shapes
 
     @property
     def feature_length(self) -> int:
@@ -193,7 +198,16 @@ class _OnnxSession:
         feats = np.asarray(feats, np.float32)
         if feats.ndim == 2:
             feats = feats[None]
-        return float(self._model(feats).reshape(-1)[0]), None
+        if not self.stateful:
+            return float(self._model(feats).reshape(-1)[0]), None
+        feed = {self._model.input_name: feats}
+        if carry is None:
+            carry = tuple(np.zeros(self._state_shapes[k], np.float32)
+                          for k in ("hidden_in", "cell_in"))
+        feed["hidden_in"], feed["cell_in"] = carry
+        score, h_out, c_out = self._model.run(
+            ["score", "hidden_out", "cell_out"], feed)
+        return float(score.reshape(-1)[0]), (h_out, c_out)
 
     def run_batch(self, feats: np.ndarray) -> np.ndarray:
         """Exported graphs fix batch=1; score rows individually (the .nww

@@ -122,10 +122,69 @@ def test_file_roundtrip_and_structure(tmp_path):
 
 def test_pipeline_entry_unsupported_type_returns_none(tmp_path, capsys):
     model = _model("dnn")
-    # explicit-carry streaming models stay .nww-only by design
-    model.model_type = "streaming_gru"
+    # user-supplied custom modules stay .nww-only by design
+    model.model_type = "custom"
     out = export_onnx_model(model, (16, 96), {}, "m", str(tmp_path))
     assert out is None
+
+
+class TestStatefulStreamingGru:
+    def _model(self):
+        config = {"activation_function": "relu", "embedding_dim": 16}
+        return Model(config=config, model_name="sg", input_shape=(16, 96),
+                     model_type="streaming_gru", layer_dim=12, n_blocks=2,
+                     dropout_prob=0.0)
+
+    def test_carry_threading_matches_live_model(self):
+        """Two chunks scored through the stateful ONNX graph (hidden_in ->
+        hidden_out threading, the reference's nanointerpreter.py:679-691
+        convention) match the live Flax module's explicit carry chain."""
+        import jax.numpy as jnp
+        model = self._model()
+        data = build_onnx(model)
+        rng = np.random.default_rng(0)
+        f1 = rng.normal(size=(1, 16, 96)).astype(np.float32)
+        f2 = rng.normal(size=(1, 16, 96)).astype(np.float32)
+
+        # live chain
+        logits1, carry1 = model.module.apply(model.variables,
+                                             jnp.asarray(f1), carry=None,
+                                             deterministic=True)
+        logits2, _ = model.module.apply(model.variables, jnp.asarray(f2),
+                                        carry=carry1, deterministic=True)
+        want1 = 1 / (1 + np.exp(-np.asarray(logits1).reshape(-1)[0]))
+        want2 = 1 / (1 + np.exp(-np.asarray(logits2).reshape(-1)[0]))
+
+        # ONNX chain via the numpy evaluator
+        zeros = np.zeros((2, 1, 12), np.float32)
+        out1 = onnx_eval.run(data, {"input": f1, "hidden_in": zeros,
+                                    "cell_in": zeros})
+        np.testing.assert_allclose(float(out1["score"].reshape(-1)[0]),
+                                   want1, atol=1e-5)
+        out2 = onnx_eval.run(data, {"input": f2,
+                                    "hidden_in": out1["hidden_out"],
+                                    "cell_in": out1["cell_out"]})
+        np.testing.assert_allclose(float(out2["score"].reshape(-1)[0]),
+                                   want2, atol=1e-5)
+        # hidden_out matches the live carry (layer-stacked [L, 1, H])
+        live_h = np.stack([np.asarray(c) for c in carry1], axis=0)
+        np.testing.assert_allclose(out1["hidden_out"], live_h, atol=1e-5)
+
+    def test_interpreter_threads_onnx_state(self, tmp_path):
+        """NanoInterpreter detects hidden_in on a loaded .onnx model and
+        threads the carry across predict() chunks (reference :679-691)."""
+        from nanowakeword_tpu.interpreter.nanointerpreter import \
+            NanoInterpreter
+        model = self._model()
+        path = export_onnx(model, str(tmp_path / "sg.onnx"))
+        itp = NanoInterpreter.load_model(path)
+        assert itp.is_stateful["sg"]
+        audio = np.random.default_rng(3).integers(
+            -8000, 8000, 32000).astype(np.int16)
+        scores = itp.predict_clip(audio)
+        assert len(scores) > 0
+        # the carry must actually be threaded (non-None after warm-up)
+        assert itp.hidden_states["sg"] is not None
 
 
 def test_crnn_gru_cell_custom_channels():
