@@ -52,7 +52,7 @@ def build_forward():
     from nanowakeword_tpu.ops.mel_pallas import mel_frontend_fused
 
     def forward(variables, encoder_variables, audio):
-        # the product bulk path: fused Pallas mel on TPU (1.23x XLA, v5e)
+        # the product bulk path: fused Pallas mel on TPU (ops/mel_pallas.py)
         mel = mel_frontend_fused(audio)
         emb = encoder.apply(encoder_variables, mel[:, EMB_OFFSET:])
         pad = 16 - emb.shape[1]
@@ -221,9 +221,9 @@ def bench_all(batch: int = 2048):
     from nanowakeword_tpu.models.embedding import (build_encoder,
                                                    infer_encoder_arch)
     from nanowakeword_tpu.models.model import Model
-    from nanowakeword_tpu.ops import mel as melops
     from nanowakeword_tpu.ops.augment import (AugmentParams, augment_batch,
                                               spec_augment)
+    from nanowakeword_tpu.ops.mel_pallas import mel_frontend_fused
     from nanowakeword_tpu.train.optim import build_optimizer
     from nanowakeword_tpu.train.step import create_train_state, \
         make_train_step
@@ -248,7 +248,7 @@ def bench_all(batch: int = 2048):
     feats16 = jax.device_put(np.asarray(
         rng.normal(size=(batch, 16, 96)), np.float32))
     audio1s = jax.device_put(np.asarray(
-        rng.integers(-16000, 16000, (batch, 16000)), np.float32))
+        rng.integers(-16000, 16000, (batch, 16000)), np.int16))
 
     # 1. DNN scoring precomputed features (evaluate_model_with_features path)
     dnn = build("dnn")
@@ -266,7 +266,7 @@ def bench_all(batch: int = 2048):
         m = build(mt)
 
         def e2e(v, ev, a, _m=m):
-            mel = melops.mel_frontend(a, compute_dtype=jnp.bfloat16)
+            mel = mel_frontend_fused(a)   # the product bulk path (Pallas on TPU)
             emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
             f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
             return jax.nn.sigmoid(_m.module.apply(v, f, deterministic=True))
@@ -299,7 +299,7 @@ def bench_all(batch: int = 2048):
         key = jax.random.PRNGKey(0)
         aug = augment_batch(key, key_audio, bg_, rirs_, fg_lens_, flags_,
                             no_flags_, aug_params).astype(jnp.float32)
-        mel = melops.mel_frontend(aug, compute_dtype=jnp.bfloat16)
+        mel = mel_frontend_fused(aug)  # no grad flows through mel here
         mel = spec_augment(key, mel)
         emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
         f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
@@ -323,7 +323,7 @@ def bench_all(batch: int = 2048):
         m = build(mt)
 
         def feat_fwd(v, ev, a, _m=m):
-            mel = melops.mel_frontend(a, compute_dtype=jnp.bfloat16)
+            mel = mel_frontend_fused(a)   # the product bulk path (Pallas on TPU)
             emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
             f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
             return jax.nn.sigmoid(_m.module.apply(v, f, deterministic=True))
