@@ -13,7 +13,9 @@ from nanowakeword_tpu.models.model import Model
 
 
 def _model(model_type="dnn", activation="relu"):
-    config = {"activation_function": activation, "embedding_dim": 16}
+    config = {"activation_function": activation, "embedding_dim": 16,
+              "crnn_cnn_channels": [8, 16], "crnn_rnn_type": "gru",
+              "conformer_d_model": 32, "conformer_n_head": 2}
     return Model(config=config, model_name="oj", input_shape=(16, 96),
                  model_type=model_type, layer_dim=24, n_blocks=2,
                  dropout_prob=0.0)
@@ -25,9 +27,10 @@ def _score_jax(model, feats):
 
 
 # one family per op-coverage class: Gemm/LN, Conv2D/MaxPool, dilated
-# Conv1D, native GRU scan, lowered MHSA
+# Conv1D, native GRU scan, lowered MHSA, conv-stack+BN+GRU, depthwise
+# conv/GLU/BN-in-NCL
 @pytest.mark.parametrize("model_type", [
-    "dnn", "cnn", "tcn", "gru", "transformer"])
+    "dnn", "cnn", "tcn", "gru", "transformer", "crnn", "conformer"])
 def test_matches_live_model(model_type):
     model = _model(model_type)
     data = build_onnx(model)
