@@ -52,8 +52,10 @@ def build_forward():
     from nanowakeword_tpu.ops.mel_pallas import mel_frontend_fused
 
     def forward(variables, encoder_variables, audio):
-        # the product bulk path: fused Pallas mel on TPU (ops/mel_pallas.py)
-        mel = mel_frontend_fused(audio)
+        # the product bulk path: fused Pallas mel on TPU (ops/mel_pallas.py);
+        # bf16 out — the bf16 encoder casts anyway, so the values are
+        # identical and the intermediate HBM traffic halves
+        mel = mel_frontend_fused(audio, out_dtype=jnp.bfloat16)
         emb = encoder.apply(encoder_variables, mel[:, EMB_OFFSET:])
         pad = 16 - emb.shape[1]
         feats = jnp.pad(emb, ((0, 0), (pad, 0), (0, 0)))
@@ -266,7 +268,7 @@ def bench_all(batch: int = 2048):
         m = build(mt)
 
         def e2e(v, ev, a, _m=m):
-            mel = mel_frontend_fused(a)   # the product bulk path (Pallas on TPU)
+            mel = mel_frontend_fused(a, out_dtype=jnp.bfloat16)
             emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
             f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
             return jax.nn.sigmoid(_m.module.apply(v, f, deterministic=True))
@@ -299,7 +301,8 @@ def bench_all(batch: int = 2048):
         key = jax.random.PRNGKey(0)
         aug = augment_batch(key, key_audio, bg_, rirs_, fg_lens_, flags_,
                             no_flags_, aug_params).astype(jnp.float32)
-        mel = mel_frontend_fused(aug)  # no grad flows through mel here
+        mel = mel_frontend_fused(aug, out_dtype=jnp.bfloat16)
+        # (no grad flows through mel here — features computed outside step)
         mel = spec_augment(key, mel)
         emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
         f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
@@ -323,7 +326,7 @@ def bench_all(batch: int = 2048):
         m = build(mt)
 
         def feat_fwd(v, ev, a, _m=m):
-            mel = mel_frontend_fused(a)   # the product bulk path (Pallas on TPU)
+            mel = mel_frontend_fused(a, out_dtype=jnp.bfloat16)
             emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
             f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
             return jax.nn.sigmoid(_m.module.apply(v, f, deterministic=True))

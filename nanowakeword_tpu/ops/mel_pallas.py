@@ -126,8 +126,9 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
         power = w_re * w_re + w_im * w_im
         mel = jnp.dot(power.astype(jnp.bfloat16), fb_ref[:],
                       preferred_element_type=jnp.float32)
-        out_ref[r, :, :] = (jnp.log10(jnp.maximum(mel, 0.0) + melops.MEL_EPS)
-                            + melops.LOG_OFFSET)
+        logmel = (jnp.log10(jnp.maximum(mel, 0.0) + melops.MEL_EPS)
+                  + melops.LOG_OFFSET)
+        out_ref[r, :, :] = logmel.astype(out_ref.dtype)
 
     def convert(block):
         # one cell-level elementwise convert (int16/f32 -> bf16 in VMEM)
@@ -154,15 +155,19 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "rows_per_cell"))
+                   static_argnames=("interpret", "rows_per_cell",
+                                    "out_dtype"))
 def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
-                        rows_per_cell: int = 32):
+                        rows_per_cell: int = 32, out_dtype=jnp.float32):
     """[B, n] int16-scale audio -> [B, n//HOP, 32], fused on-chip.
 
     Same contract as ops/mel.mel_frontend (zero left context, n//HOP
     frames). Accepts int16, float32, or bfloat16 input; int16 is the
     cheapest (half the HBM reads) and is what the product's audio decode
-    produces (utils/audio_io.py).
+    produces (utils/audio_io.py). `out_dtype=bfloat16` halves the output
+    write for consumers that cast anyway (the bf16 encoder): the values
+    are bit-identical to casting the f32 output — the rounding just moves
+    into the kernel.
     """
     if x.ndim == 1:
         x = x[None]
@@ -230,18 +235,21 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
                                lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, grid_t * ft, melops.N_MELS),
-                                       jnp.float32),
+                                       out_dtype),
         interpret=interpret,
     )(*operands)
     return out if single else out[:, :t]
 
 
-def mel_frontend_fused(x: jnp.ndarray) -> jnp.ndarray:
+def mel_frontend_fused(x: jnp.ndarray, *,
+                       out_dtype=jnp.float32) -> jnp.ndarray:
     """Best available fused mel path: the Pallas kernel on TPU backends,
     the XLA hop-DFT route elsewhere (or with NWW_TPU_PALLAS_MEL=0).
 
     INFERENCE path only — the kernel has no autodiff rule; gradient paths
-    (e2e/pretrain training) keep ops/mel.mel_frontend.
+    (e2e/pretrain training) keep ops/mel.mel_frontend. Pass
+    out_dtype=bfloat16 when the consumer casts to bf16 anyway (identical
+    values, half the intermediate HBM traffic).
     """
     import os
     try:
@@ -250,5 +258,6 @@ def mel_frontend_fused(x: jnp.ndarray) -> jnp.ndarray:
         backend = "cpu"
     if (backend in ("tpu", "axon")
             and os.environ.get("NWW_TPU_PALLAS_MEL", "1") == "1"):
-        return mel_frontend_pallas(x, rows_per_cell=32)
-    return melops.mel_frontend(x, compute_dtype=jnp.bfloat16)
+        return mel_frontend_pallas(x, rows_per_cell=32, out_dtype=out_dtype)
+    return melops.mel_frontend(
+        x, compute_dtype=jnp.bfloat16).astype(out_dtype)

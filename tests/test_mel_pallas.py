@@ -66,3 +66,14 @@ def test_1d_input_promoted(rng):
     x = rng.integers(-20000, 20000, 16000).astype(np.float32)
     out = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True))
     assert out.shape == (1, 100, M.N_MELS)
+
+
+def test_bf16_output_matches_cast_f32(rng):
+    """out_dtype=bfloat16 equals casting the f32 output — the rounding
+    just moves into the kernel (used by bf16-encoder consumers)."""
+    x = rng.integers(-20000, 20000, (4, 16000)).astype(np.int16)
+    f32 = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True))
+    b16 = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True,
+                                         out_dtype=jnp.bfloat16))
+    assert b16.dtype == np.dtype(jnp.bfloat16)
+    np.testing.assert_array_equal(b16, f32.astype(jnp.bfloat16))
