@@ -14,3 +14,8 @@ from nanowakeword_tpu.interpreter.nanointerpreter import (  # noqa: F401
 from nanowakeword_tpu.interpreter.vad import VAD  # noqa: F401
 
 __all__ = ["NanoInterpreter", "DetectionResult", "VAD", "AudioFeatures"]
+
+# module-root path constant, as in the reference (`__init__.py:8-12`)
+from pathlib import Path as _Path
+
+PROJECT_ROOT = _Path(__file__).resolve().parent
