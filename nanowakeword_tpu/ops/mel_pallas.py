@@ -45,6 +45,13 @@ value-fetch sync):
     c=32 exceeds the 16 MB scoped-VMEM limit: the monolithic cell body
     holds ~8 live [M,128] f32 temporaries, while the per-row loop's small
     temps let Mosaic pipeline rows through registers. Per-row wins.
+  * v7 (tried, REJECTED): paired-hop rows — [t/2, 320] @ [320, 256]
+    block-diagonal dots computing both hop phases at once to halve the
+    per-row op count. Bit-exact, but 73k clips/s (17x SLOWER): the
+    320-lane operand (pads to 384) plus the [R, 2, t/2, 32] output
+    layout sends Mosaic into a pathological lowering. The per-op
+    overhead hypothesis was right (t=128 tiles run 6.95 ns/frame vs
+    8.10 at t=100) but this encoding of "bigger ops" is wrong.
 
 The phase combine's row shifts roll DOWN (frame t reads rows t-1, t-2):
 wrapped rows are replaced by the PREVIOUS tile's products, selected with an
