@@ -26,10 +26,26 @@ from nanowakeword_tpu.interpreter.nanointerpreter import \
     _LocalSession  # noqa: E402
 
 
-def score_features(session, features, batch_size):
-    """Batched sigmoid scores with fallback to batch 1 on failure."""
+def _load_scorer(model_path):
+    """-> (run_batch fn, feature_length). Accepts `.nww` artifacts and
+    exported `.onnx` graphs (the reference script's model format; scored
+    here through the TPU ONNX runtime, export/onnx_jax.py)."""
     import jax
     import jax.numpy as jnp
+
+    if model_path.endswith(".onnx"):
+        from nanowakeword_tpu.export.onnx_jax import OnnxJaxModel
+        m = OnnxJaxModel(model_path)
+
+        def run_batch(b):
+            # fixed-batch-1 conv graphs raise here; the caller's batch-1
+            # fallback (reference parity) absorbs them
+            return m(np.asarray(b, np.float32)).reshape(-1)
+
+        return run_batch, int(m.input_shape[1])
+
+    header, model, _ = load_nww(model_path)
+    session = _LocalSession(model, header)
 
     def run_batch(b):
         probs = jax.nn.sigmoid(session.model.module.apply(
@@ -37,6 +53,11 @@ def score_features(session, features, batch_size):
             deterministic=True))
         return np.asarray(probs).reshape(-1)
 
+    return run_batch, session.feature_length
+
+
+def score_features(run_batch, features, batch_size):
+    """Batched sigmoid scores with fallback to batch 1 on failure."""
     out = []
     try:
         for i in tqdm(range(0, len(features), batch_size), desc="scoring"):
@@ -63,13 +84,11 @@ def main():
     results = []
     for model_path in args.models:
         name = os.path.splitext(os.path.basename(model_path))[0]
-        header, model, _ = load_nww(model_path)
-        session = _LocalSession(model, header)
-        T = session.feature_length
+        run_batch, T = _load_scorer(model_path)
         pos_t = np.asarray(pos[:, :T], np.float32)
         neg_t = np.asarray(neg[:, :T], np.float32)
-        pos_scores = score_features(session, pos_t, args.batch)
-        neg_scores = score_features(session, neg_t, args.batch)
+        pos_scores = score_features(run_batch, pos_t, args.batch)
+        neg_scores = score_features(run_batch, neg_t, args.batch)
         misses = int((pos_scores < args.threshold).sum())
         fas = int((neg_scores > args.threshold).sum())
         results.append((name, misses, fas, misses + fas))
