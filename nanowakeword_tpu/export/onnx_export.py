@@ -30,9 +30,12 @@ the default pipeline's distilled "lite"/gate students and the whole zoo
 The `.nww` artifact (export/artifact.py) remains the native deploy path
 (streaming state, carries); ONNX is the interchange format.
 
-Graph contract (matches the reference's exported model):
-  input  "features" : float32 [1, T, 96]
-  output "score"    : float32 [1, n_classes]   (sigmoid probability)
+Graph contract (matches the reference's exported model, incl. its DYNAMIC
+batch axis, `_export/onnx.py:74-82`):
+  input  "features" : float32 ["batch_size", T, 96]
+  output "score"    : float32 ["batch_size", n_classes]  (sigmoid prob)
+Attention families fix batch_size=1 (their per-head lowering reshapes the
+time axis); everything else scores arbitrary batches in one run.
 
 Numerical notes: flax Dense kernels are [in, out] and feed Gemm with
 transB=0; flax Conv kernels are [kH, kW, in, out] (NHWC) and are transposed
@@ -56,6 +59,10 @@ SUPPORTED_TYPES = ("dnn", "cnn", "tcn", "quartznet", "bcresnet",
                    "lstm", "gru", "rnn", "crnn",
                    "transformer", "conformer", "e_branchformer",
                    "streaming_gru")
+# families whose graphs accept a dynamic batch axis (reference parity:
+# torch.onnx.export declares batch_size dynamic, _export/onnx.py:74-82)
+DYNAMIC_BATCH_TYPES = ("dnn", "cnn", "tcn", "quartznet", "bcresnet",
+                       "lstm", "gru", "rnn", "crnn")
 
 
 class _GraphBuilder:
@@ -231,8 +238,8 @@ def _cnn_backbone(g: _GraphBuilder, x: str, params: dict, activation: str,
     pair around the conv stack keeps ONNX's flatten order identical to the
     Flax [B, T, F, C] reshape."""
     t, f = int(input_shape[0]), int(input_shape[1])
-    # [1, T, F] -> [1, 1, T, F] (NCHW with C=1)
-    shape4 = g.init_tensor("shape4", np.asarray([1, 1, t, f], np.int64))
+    # [B, T, F] -> [B, 1, T, F] (NCHW with C=1; -1 keeps batch dynamic)
+    shape4 = g.init_tensor("shape4", np.asarray([-1, 1, t, f], np.int64))
     x = g.add("Reshape", [x, shape4])
     x = _conv_same(g, x, params["Conv_0"]["kernel"],
                    params["Conv_0"]["bias"], "bb_conv0")
@@ -319,8 +326,8 @@ def _bcresnet_backbone(g: _GraphBuilder, x: str, params: dict, stats: dict,
     """BcResNetModel (models/architectures.py:515-554): stem conv + 3
     depthwise-separable residual blocks (strided, SAME) + global mean."""
     t, f = int(input_shape[0]), int(input_shape[1])
-    shape4 = g.init_tensor("shape4", np.asarray([1, 1, t, f], np.int64))
-    x = g.add("Reshape", [x, shape4])                  # NCHW, C=1
+    shape4 = g.init_tensor("shape4", np.asarray([-1, 1, t, f], np.int64))
+    x = g.add("Reshape", [x, shape4])                  # NCHW, C=1, dyn batch
 
     def same_conv(x, kernel, hint, stride, h, w, group=1):
         kh, kw = kernel.shape[2], kernel.shape[3]
@@ -436,9 +443,9 @@ def _bi_rnn(g: _GraphBuilder, x_seq: str, params: dict, cell: str,
         attrs = dict(hidden_size=h, direction="bidirectional")
         if op == "GRU":
             attrs["linear_before_reset"] = 1
-        y = g.add(op, [x_seq, W, R, B], **attrs)   # [T, 2, 1, H]
+        y = g.add(op, [x_seq, W, R, B], **attrs)   # [T, 2, B, H]
         y = g.add("Transpose", [y], perm=[0, 2, 1, 3])
-        x_seq = g.reshape(y, [t, 1, 2 * h])
+        x_seq = g.reshape(y, [t, -1, 2 * h])       # [T, B, 2H], dyn batch
     return x_seq, 2 * h
 
 
@@ -446,10 +453,10 @@ def _rnn_backbone(g: _GraphBuilder, x: str, params: dict, cell: str,
                   t: int) -> str:
     """LSTMModel/GRUModel/RNNModel (models/architectures.py:160-194):
     bi-RNN over the feature frames, last timestep, Dense."""
-    xs = g.add("Transpose", [x], perm=[1, 0, 2])   # [T, 1, F]
+    xs = g.add("Transpose", [x], perm=[1, 0, 2])   # [T, B, F]
     out, width = _bi_rnn(g, xs, params["BiRNN_0"], cell, t, "rnn")
-    last = g.slice_last(out, axis=0)               # [1, 1, 2H]
-    flat = g.reshape(last, [1, width])
+    last = g.slice_last(out, axis=0)               # [1, B, 2H]
+    flat = g.reshape(last, [-1, width])
     d = params["Dense_0"]
     return g.gemm(flat, d["kernel"], d["bias"], "rnn_out")
 
@@ -460,7 +467,7 @@ def _crnn_backbone(g: _GraphBuilder, x: str, params: dict, stats: dict,
     sequence over the reduced WIDTH axis with channels x reduced-time
     features (the reference's quirky geometry), bi-RNN, last step, Dense."""
     t, f = int(input_shape[0]), int(input_shape[1])
-    x4 = g.reshape(x, [1, 1, t, f])                # NCHW, C=1
+    x4 = g.reshape(x, [-1, 1, t, f])               # NCHW, C=1, dyn batch
     h_sz, w_sz, ch = t, f, 1
     n_convs = len([k for k in params if k.startswith("Conv_")])
     for i in range(n_convs):
@@ -472,15 +479,15 @@ def _crnn_backbone(g: _GraphBuilder, x: str, params: dict, stats: dict,
         x4 = g.add("MaxPool", [x4], kernel_shape=[2, 2], strides=[2, 2])
         h_sz, w_sz = h_sz // 2, w_sz // 2
         ch = params[f"Conv_{i}"]["kernel"].shape[-1]
-    # [1,C,H,W] -> [1,W,C,H] -> [1,W,C*H]  (flax: transpose(0,2,3,1) of NHWC)
+    # [B,C,H,W] -> [B,W,C,H] -> [B,W,C*H]  (flax: transpose(0,2,3,1) of NHWC)
     seq = g.add("Transpose", [x4], perm=[0, 3, 1, 2])
-    seq = g.reshape(seq, [1, w_sz, ch * h_sz])
-    seq = g.add("Transpose", [seq], perm=[1, 0, 2])   # [W, 1, C*H]
+    seq = g.reshape(seq, [-1, w_sz, ch * h_sz])
+    seq = g.add("Transpose", [seq], perm=[1, 0, 2])   # [W, B, C*H]
     cell = "gru" if str(config.get("crnn_rnn_type", "lstm")).lower() == "gru" \
         else "lstm"
     out, width = _bi_rnn(g, seq, params["BiRNN_0"], cell, w_sz, "crnn_rnn")
     last = g.slice_last(out, axis=0)
-    flat = g.reshape(last, [1, width])
+    flat = g.reshape(last, [-1, width])
     d = params["Dense_0"]
     return g.gemm(flat, d["kernel"], d["bias"], "crnn_out")
 
@@ -796,10 +803,11 @@ def build_onnx(model, input_shape=None) -> bytes:
                     "head1")
     g.nodes.append(P.node("Sigmoid", [logits], ["score"], name="n_sigmoid"))
 
+    batch_dim = ("batch_size" if model_type in DYNAMIC_BATCH_TYPES else 1)
     graph = P.graph(
         g.nodes, name=f"{model.model_name}_{model_type}",
-        inputs=[P.value_info("features", (1,) + input_shape)],
-        outputs=[P.value_info("score", (1, model.n_classes))],
+        inputs=[P.value_info("features", (batch_dim,) + input_shape)],
+        outputs=[P.value_info("score", (batch_dim, model.n_classes))],
         initializers=g.inits,
         doc=f"nanowakeword_tpu {model_type} wake-word scorer")
     return P.model(graph, opset=17,

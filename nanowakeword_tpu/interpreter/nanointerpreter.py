@@ -210,10 +210,15 @@ class _OnnxSession:
         return float(score.reshape(-1)[0]), (h_out, c_out)
 
     def run_batch(self, feats: np.ndarray) -> np.ndarray:
-        """Exported graphs fix batch=1; score rows individually (the .nww
-        path is the bulk/serving format — see export/artifact.py)."""
-        return np.asarray([self.run(f)[0] for f in np.asarray(feats)],
-                          np.float32)
+        """Batched scoring. Non-attention exports declare a dynamic batch
+        axis (reference `_export/onnx.py:74-82` parity) and score the whole
+        batch in one compiled call; fixed-batch-1 graphs fall back to
+        per-row scoring."""
+        feats = np.asarray(feats, np.float32)
+        try:
+            return self._model(feats).reshape(len(feats))
+        except Exception:  # noqa: BLE001 — fixed-batch graph
+            return np.asarray([self.run(f)[0] for f in feats], np.float32)
 
 
 class NanoInterpreter:

@@ -108,7 +108,7 @@ def test_file_roundtrip_and_structure(tmp_path):
     assert parsed.opsets[""] == 17
     assert parsed.producer == "nanowakeword_tpu"
     assert [vi.name for vi in parsed.graph.inputs] == ["features"]
-    assert parsed.graph.inputs[0].shape == [1, 16, 96]
+    assert parsed.graph.inputs[0].shape == ["batch_size", 16, 96]
     assert [vi.name for vi in parsed.graph.outputs] == ["score"]
     assert parsed.graph.nodes[-1].op_type == "Sigmoid"
     # graph is connected: every node input is an initializer, the graph
@@ -268,3 +268,26 @@ def test_onnxruntime_if_available(tmp_path):
         size=(1, 16, 96)).astype(np.float32)
     got = sess.run(["score"], {"features": feats})[0]
     np.testing.assert_allclose(got, _score_jax(model, feats), atol=1e-5)
+
+
+@pytest.mark.parametrize("model_type", [
+    "dnn", "cnn", "tcn", "quartznet", "bcresnet", "gru", "crnn"])
+def test_dynamic_batch_scores_match_per_row(model_type):
+    """Non-attention graphs declare a dynamic batch axis (the reference's
+    torch.onnx.export contract, _export/onnx.py:74-82): a batch-5 run
+    equals five batch-1 runs."""
+    model = _randomize_batch_stats(_model(model_type))
+    data = build_onnx(model)
+    parsed = P.load_model(data)
+    assert parsed.graph.inputs[0].shape[0] == "batch_size"
+    feats = np.random.default_rng(8).normal(
+        size=(5, 16, 96)).astype(np.float32)
+    batched = onnx_eval.run(data, {"features": feats})["score"]
+    assert batched.shape[0] == 5
+    for i in range(5):
+        single = onnx_eval.run(data, {"features": feats[i:i + 1]})["score"]
+        np.testing.assert_allclose(batched[i], single[0], atol=1e-5)
+    # the jax runtime batches too
+    from nanowakeword_tpu.export.onnx_jax import OnnxJaxModel
+    got = OnnxJaxModel(data)(feats)
+    np.testing.assert_allclose(got, batched, atol=1e-5)

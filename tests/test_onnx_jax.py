@@ -51,7 +51,7 @@ def test_ort_compatible_run_interface():
         size=(1, 16, 96)).astype(np.float32)
     out = runtime.run(["score"], {"features": feats})
     assert isinstance(out, list) and out[0].shape == (1, 1)
-    assert runtime.input_shape == [1, 16, 96]
+    assert runtime.input_shape == ["batch_size", 16, 96]
     assert runtime.output_names == ["score"]
 
 
