@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import struct
 from typing import Optional, Union
 
@@ -187,9 +188,9 @@ def serve(model_path: str,
         format="%(asctime)s [%(levelname)s] %(message)s", datefmt="%H:%M:%S")
 
     from nanowakeword_tpu.export.artifact import load_nww
-    from nanowakeword_tpu.interpreter.nanointerpreter import _LocalSession
+    from nanowakeword_tpu.interpreter.nanointerpreter import (_LocalSession,
+                                                              _OnnxSession)
 
-    header, model, encoder_vars = load_nww(model_path)
     mesh = None
     if data_parallel:
         import jax
@@ -202,12 +203,23 @@ def serve(model_path: str,
         else:
             logger.info("data_parallel requested but only one device "
                         "visible; serving single-device")
-    ww_session = _LocalSession(model, header, mesh=mesh)
+    if model_path.endswith(".onnx"):
+        # the reference serves exported .onnx models (remote_verifier.py:
+        # 223-230); here the graph jit-compiles onto the serving backend
+        ww_session = _OnnxSession(model_path)
+        encoder_vars = None
+        model_name = os.path.splitext(os.path.basename(model_path))[0]
+        if mesh is not None:
+            logger.info(".onnx serving is single-device; ignoring "
+                        "--data-parallel (use the .nww artifact to shard)")
+    else:
+        header, model, encoder_vars = load_nww(model_path)
+        ww_session = _LocalSession(model, header, mesh=mesh)
+        model_name = header.get("model_name", "model")
     n_frames = ww_session.feature_length
     batcher = (_DynamicBatcher(ww_session, max_batch=max_batch,
                                max_wait_ms=batch_wait_ms)
                if batching and not ww_session.stateful else None)
-    model_name = header.get("model_name", "model")
     logger.info(f"Wake word model: '{model_name}'  "
                 f"input=[batch, {n_frames}, 96]")
     logger.info(f"Pipeline mode:   '{pipeline}'")

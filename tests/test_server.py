@@ -283,3 +283,28 @@ class TestBatchingDisabled:
         r1 = asyncio.run(_roundtrip(port, encode_features(feats)))
         r2 = asyncio.run(_roundtrip(port, encode_features(feats)))
         assert r1["score"] == pytest.approx(r2["score"], abs=1e-6)
+
+
+class TestOnnxServing:
+    def test_serve_onnx_model(self, tmp_path):
+        """The server hosts exported .onnx graphs directly (reference
+        remote_verifier.py:223-230 parity): same wire protocol, same score
+        as the .nww artifact of the same weights."""
+        from nanowakeword_tpu.export.artifact import save_nww
+        from nanowakeword_tpu.export.onnx_export import export_onnx
+        from nanowakeword_tpu.models.model import Model
+        cfg = {"activation_function": "relu", "embedding_dim": 16}
+        model = Model(config=cfg, model_name="osrv", input_shape=(16, 96),
+                      model_type="dnn", layer_dim=16, n_blocks=1)
+        onnx_path = export_onnx(model, str(tmp_path / "osrv.onnx"))
+        nww_path = str(tmp_path / "osrv.nww")
+        save_nww(nww_path, model=model, config=cfg, model_name="osrv")
+
+        feats = np.random.default_rng(9).normal(
+            size=(1, 16, 96)).astype(np.float32)
+        port_o = _start_server(onnx_path, "verifier_only")
+        s_o = asyncio.run(_roundtrip(port_o, encode_features(feats)))["score"]
+        port_n = _start_server(nww_path, "verifier_only")
+        s_n = asyncio.run(_roundtrip(port_n, encode_features(feats)))["score"]
+        assert 0.0 <= s_o <= 1.0
+        assert abs(s_o - s_n) < 1e-4
