@@ -103,7 +103,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     server_group = parser.add_argument_group("Server (--model required)")
     server_group.add_argument("--model", metavar="PATH", default=None,
-                              help="Wake word .nww model; starts the "
+                              help="Wake word .nww or .onnx model; starts the "
                                    "RemoteVerifier server.")
     server_group.add_argument("--pipeline", default="verifier_only",
                               choices=["verifier_only", "embedding", "full"],
