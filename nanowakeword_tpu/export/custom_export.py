@@ -37,10 +37,23 @@ def export_custom_model(model: Any, input_shape: Tuple[int, ...], config,
                 print_warning(f"User export script '{script_path}' has no "
                               f"function '{func_name}'. Skipping.")
                 return False
+            # decide the calling convention from the signature BEFORE
+            # invoking: a retry-on-TypeError would re-run a user function
+            # (twice the side effects) whose TypeError came from inside it
+            import inspect
+            kwargs = dict(model=model, input_shape=input_shape,
+                          config=config, model_name=model_name,
+                          output_dir=output_dir)
             try:
-                func(model=model, input_shape=input_shape, config=config,
-                     model_name=model_name, output_dir=output_dir)
-            except TypeError:
+                params = inspect.signature(func).parameters
+                accepts_kw = (all(k in params for k in kwargs)
+                              or any(p.kind is inspect.Parameter.VAR_KEYWORD
+                                     for p in params.values()))
+            except (TypeError, ValueError):   # builtins/C callables
+                accepts_kw = False
+            if accepts_kw:
+                func(**kwargs)
+            else:
                 func(model, input_shape, config, model_name, output_dir)
             print_info(f"User export script '{script_path}' executed "
                        "successfully.")

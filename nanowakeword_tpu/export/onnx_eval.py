@@ -103,13 +103,16 @@ def _gru_direction(X, W, R, B, linear_before_reset=1, h0=None):
     return ys
 
 
-def _lstm_direction(X, W, R, B):
-    """One-direction ONNX LSTM: gate order (i,o,f,c) -> Y [T,N,H]."""
+def _lstm_direction(X, W, R, B, h0=None, c0=None):
+    """One-direction ONNX LSTM: gate order (i,o,f,c) -> (Y [T,N,H],
+    final cell state [N,H])."""
     H = R.shape[1]
     Wb, Rb = B[:4 * H], B[4 * H:]
     xg = X @ W.T + (Wb + Rb)                          # [T, N, 4H]
-    h = np.zeros((X.shape[1], H), np.float32)
-    c = np.zeros_like(h)
+    h = (np.zeros((X.shape[1], H), np.float32) if h0 is None
+         else np.asarray(h0, np.float32))
+    c = (np.zeros((X.shape[1], H), np.float32) if c0 is None
+         else np.asarray(c0, np.float32))
     ys = np.empty(xg.shape[:2] + (H,), np.float32)
     for t in range(X.shape[0]):
         gates = xg[t] + h @ R.T
@@ -120,35 +123,42 @@ def _lstm_direction(X, W, R, B):
         c = f * c + i * g
         h = o * np.tanh(c)
         ys[t] = h
-    return ys
+    return ys, c
 
 
 def _rnn_node(op, x, attrs):
-    """GRU/LSTM node -> (Y [T, num_dirs, N, H], Y_h [num_dirs, N, H])
-    (optional initial_h as the 5th present input; no sequence_lens — the
-    subset onnx_export.py emits)."""
+    """GRU/LSTM node -> (Y [T, dirs, N, H], Y_h [dirs, N, H],
+    Y_c [dirs, N, H] | None). Optional initial_h (and initial_c for LSTM)
+    arrive as the 5th/6th present inputs (sequence_lens, which both
+    onnx_export.py and torch leave empty, is skipped upstream)."""
     X, W, R, B = x[0], x[1], x[2], x[3]
     initial_h = x[4] if len(x) > 4 else None
+    initial_c = x[5] if len(x) > 5 else None
     direction = attrs.get("direction", "forward")
     if isinstance(direction, bytes):
         direction = direction.decode()
-    step = (_gru_direction if op == "GRU"
-            else _lstm_direction)
     kw = {}
     if op == "GRU":
         kw["linear_before_reset"] = attrs.get("linear_before_reset", 0)
-    dirs, finals = [], []
+    dirs, finals, cells = [], [], []
     for d in range(W.shape[0]):
         reverse = d == 1 or direction == "reverse"
         Xd = X[::-1] if reverse else X
-        if op == "GRU" and initial_h is not None:
+        if initial_h is not None:
             kw["h0"] = initial_h[d]
-        Y = step(Xd, W[d], R[d], B[d], **kw)
+        if op == "GRU":
+            Y = _gru_direction(Xd, W[d], R[d], B[d], **kw)
+        else:
+            if initial_c is not None:
+                kw["c0"] = initial_c[d]
+            Y, c_fin = _lstm_direction(Xd, W[d], R[d], B[d], **kw)
+            cells.append(c_fin)
         finals.append(Y[-1])                          # last processed state
         if reverse:
             Y = Y[::-1]                               # align to input time
         dirs.append(Y)
-    return np.stack(dirs, axis=1), np.stack(finals, axis=0)
+    return (np.stack(dirs, axis=1), np.stack(finals, axis=0),
+            np.stack(cells, axis=0) if cells else None)
 
 
 def run(model: Union[str, bytes, P.ParsedModel],
@@ -243,9 +253,11 @@ def run(model: Union[str, bytes, P.ParsedModel],
         elif op == "Identity":
             y = x[0]
         elif op in ("GRU", "LSTM"):
-            Y, Y_h = _rnn_node(op, x, a)
+            Y, Y_h, Y_c = _rnn_node(op, x, a)
             if len(nd.outputs) > 1 and nd.outputs[1]:
                 env[nd.outputs[1]] = np.asarray(Y_h, np.float32)
+            if len(nd.outputs) > 2 and nd.outputs[2] and Y_c is not None:
+                env[nd.outputs[2]] = np.asarray(Y_c, np.float32)
             y = Y
         else:
             raise NotImplementedError(f"op '{op}' not supported by the "

@@ -20,7 +20,6 @@ of the reference's static-shape models.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Union
 
 import jax
@@ -83,13 +82,16 @@ def _gru_dir(X, W, R, B, linear_before_reset, h0=None):
     return ys
 
 
-def _lstm_dir(X, W, R, B):
-    """One direction of an ONNX LSTM ((i,o,f,c) gate order) via lax.scan."""
+def _lstm_dir(X, W, R, B, h0=None, c0=None):
+    """One direction of an ONNX LSTM ((i,o,f,c) gate order) via lax.scan
+    -> (Y [T,N,H], final cell state [N,H])."""
     H = R.shape[1]
     Wb, Rb = B[:4 * H], B[4 * H:]
     xg = X @ W.T + (Wb + Rb)
-    init = (jnp.zeros((X.shape[1], H), jnp.float32),
-            jnp.zeros((X.shape[1], H), jnp.float32))
+    init = (jnp.zeros((X.shape[1], H), jnp.float32) if h0 is None
+            else jnp.asarray(h0, jnp.float32),
+            jnp.zeros((X.shape[1], H), jnp.float32) if c0 is None
+            else jnp.asarray(c0, jnp.float32))
 
     def step(carry, xg_t):
         h, c = carry
@@ -102,33 +104,40 @@ def _lstm_dir(X, W, R, B):
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    _, ys = jax.lax.scan(step, init, xg)
-    return ys
+    (_, c_fin), ys = jax.lax.scan(step, init, xg)
+    return ys, c_fin
 
 
 def _rnn_node(op, x, attrs):
     X, W, R, B = x[0], jnp.asarray(x[1]), jnp.asarray(x[2]), jnp.asarray(x[3])
     initial_h = x[4] if len(x) > 4 else None
+    initial_c = x[5] if len(x) > 5 else None
     direction = attrs.get("direction", "forward")
     if isinstance(direction, bytes):
         direction = direction.decode()
     kw = {}
     if op == "GRU":
         kw["linear_before_reset"] = attrs.get("linear_before_reset", 0)
-    step = _gru_dir if op == "GRU" else _lstm_dir
-    dirs, finals = [], []
+    dirs, finals, cells = [], [], []
     for d in range(W.shape[0]):
         reverse = d == 1 or direction == "reverse"
         Xd = X[::-1] if reverse else X
-        if op == "GRU" and initial_h is not None:
+        if initial_h is not None:
             kw["h0"] = initial_h[d]
-        Y = step(Xd, W[d], R[d], B[d], **kw)
+        if op == "GRU":
+            Y = _gru_dir(Xd, W[d], R[d], B[d], **kw)
+        else:
+            if initial_c is not None:
+                kw["c0"] = initial_c[d]
+            Y, c_fin = _lstm_dir(Xd, W[d], R[d], B[d], **kw)
+            cells.append(c_fin)
         finals.append(Y[-1])
         if reverse:
             Y = Y[::-1]
         dirs.append(Y)
-    # (Y [T, dirs, N, H], Y_h [dirs, N, H])
-    return jnp.stack(dirs, axis=1), jnp.stack(finals, axis=0)
+    # (Y [T, dirs, N, H], Y_h [dirs, N, H], Y_c [dirs, N, H] | None)
+    return (jnp.stack(dirs, axis=1), jnp.stack(finals, axis=0),
+            jnp.stack(cells, axis=0) if cells else None)
 
 
 def _static(v, what):
@@ -242,9 +251,11 @@ def make_jax_fn(model: Union[str, bytes, P.ParsedModel]):
             elif op == "Identity":
                 y = jnp.asarray(x[0])
             elif op in ("GRU", "LSTM"):
-                Y, Y_h = _rnn_node(op, x, a)
+                Y, Y_h, Y_c = _rnn_node(op, x, a)
                 if len(nd.outputs) > 1 and nd.outputs[1]:
                     env[nd.outputs[1]] = Y_h
+                if len(nd.outputs) > 2 and nd.outputs[2] and Y_c is not None:
+                    env[nd.outputs[2]] = Y_c
                 y = Y
             else:
                 raise NotImplementedError(
@@ -269,10 +280,6 @@ class OnnxJaxModel:
         self.input_name = graph.inputs[0].name
         self.input_shape = list(graph.inputs[0].shape)
         self.output_names = [vi.name for vi in graph.outputs]
-
-    @functools.cached_property
-    def _single_out(self):
-        return len(self.output_names) == 1
 
     def __call__(self, feats) -> np.ndarray:
         out = self._jit({self.input_name: jnp.asarray(feats, jnp.float32)})

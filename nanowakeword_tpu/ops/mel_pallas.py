@@ -176,7 +176,8 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
     are bit-identical to casting the f32 output — the rounding just moves
     into the kernel.
     """
-    if x.ndim == 1:
+    squeeze = x.ndim == 1
+    if squeeze:
         x = x[None]
     n = x.shape[-1]
     if n % melops.HOP != 0:
@@ -245,7 +246,8 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
                                        out_dtype),
         interpret=interpret,
     )(*operands)
-    return out if single else out[:, :t]
+    out = out if single else out[:, :t]
+    return out[0] if squeeze else out
 
 
 def mel_frontend_fused(x: jnp.ndarray, *,

@@ -62,10 +62,15 @@ def test_int16_input_matches_float(rng):
     np.testing.assert_array_equal(a, b)
 
 
-def test_1d_input_promoted(rng):
+def test_1d_input_same_rank_as_xla_route(rng):
+    """1-D input keeps ops/mel.mel_frontend's rank contract: [t, 32] out,
+    so mel_frontend_fused has one shape regardless of backend."""
     x = rng.integers(-20000, 20000, 16000).astype(np.float32)
     out = np.asarray(mel_frontend_pallas(jnp.asarray(x), interpret=True))
-    assert out.shape == (1, 100, M.N_MELS)
+    assert out.shape == (100, M.N_MELS)
+    ref = np.asarray(M.mel_frontend(jnp.asarray(x),
+                                    compute_dtype=jnp.bfloat16))
+    assert out.shape == ref.shape
 
 
 def test_bf16_output_matches_cast_f32(rng):
