@@ -39,6 +39,9 @@ value-fetch sync):
     (prev-tile products for multi-tile shapes). int16 input halves HBM
     reads again; values are bit-identical to the XLA route (int16 -> f32
     is exact, f32 -> bf16 rounds once, same as before). 1,275k clips/s.
+    Multi-tile refinement: the prev-tile operand is an 8-row block at the
+    tile edge (`shifted` only reads the last 2 rows), not the full tile —
+    3 s clips went 991k -> 1,123k audio-sec/s, still bit-exact.
   * v6 (tried, REJECTED): flatten (batch, frame) into one row axis and run
     2 big [clips*T, 160] dots per cell with pos%T masks instead of R small
     per-row dots — measured 1,069-1,096k (c=8/16) vs v5's 1,275k, and
@@ -83,12 +86,14 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
 
     def shifted(p, q, shift, first_tile):
         # p rolled down so frame t reads row t-shift; the first `shift`
-        # frames read the PREVIOUS tile's last rows (q), or the stream's
-        # zero left-context on the first tile.
+        # frames read the PREVIOUS tile's last rows (q, a [ft, nb] array
+        # whose TOP 2 rows hold the prev tile's last-2-row spectra), or the
+        # stream's zero left-context on the first tile.
         r = pltpu.roll(p, shift, 0)
         idx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
         if with_prev:
-            prev = jnp.where(first_tile, 0.0, pltpu.roll(q, shift, 0))
+            qk = q if shift == 2 else pltpu.roll(q, ft - 1, 0)
+            prev = jnp.where(first_tile, 0.0, qk)
             return jnp.where(idx >= shift, r, prev)
         return jnp.where(idx >= shift, r, 0.0)
 
@@ -96,10 +101,19 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
         s_re = jnp.dot(a, b0c_ref[:], preferred_element_type=jnp.float32)
         s_im = jnp.dot(a, b0s_ref[:], preferred_element_type=jnp.float32)
         if with_prev:
-            q_re = jnp.dot(b, b0c_ref[:],
-                           preferred_element_type=jnp.float32)
-            q_im = jnp.dot(b, b0s_ref[:],
-                           preferred_element_type=jnp.float32)
+            # only the prev tile's LAST 2 rows are ever read: b is an
+            # 8-row block ending at the prev tile's edge (Mosaic's minimum
+            # sublane granularity), so the cross-tile dots are [8,160]
+            # instead of the full-tile [ft,160] pair — 16x less MXU work
+            # and prev-tile HBM traffic than the full-tile operand cost.
+            # The last 2 spectra pad up to [ft, nb] for `shifted`'s masks.
+            q8_re = jnp.dot(b, b0c_ref[:],
+                            preferred_element_type=jnp.float32)
+            q8_im = jnp.dot(b, b0s_ref[:],
+                            preferred_element_type=jnp.float32)
+            zpad = jnp.zeros((ft - 2, nb), jnp.float32)
+            q_re = jnp.concatenate([q8_re[6:8], zpad], axis=0)
+            q_im = jnp.concatenate([q8_im[6:8], zpad], axis=0)
         else:
             q_re = q_im = None
 
@@ -224,11 +238,15 @@ def mel_frontend_pallas(x: jnp.ndarray, *, interpret: bool = False,
     in_specs = [tile_spec]
     operands = [rows]
     if not single:
-        # previous frame tile (clamped on the first tile, where the kernel
-        # zero-masks the rolled-in rows instead)
+        # the LAST 8 rows of the previous frame tile (`shifted` only reads
+        # the final 2; 8 is Mosaic's minimum sublane block): block index
+        # j*ft/8 - 1 on an 8-row grid ends exactly at the prev tile edge
+        # (clamped on the first tile, where the kernel zero-masks the
+        # rolled-in rows instead).
+        eighth = ft // 8
         in_specs.append(pl.BlockSpec(
-            (r_cell, ft, melops.HOP),
-            lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+            (r_cell, 8, melops.HOP),
+            lambda i, j: (i, jnp.maximum(j * eighth - 1, 0), 0),
             memory_space=pltpu.VMEM))
         operands.append(rows)
     in_specs.extend(const_specs)
