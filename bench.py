@@ -395,6 +395,9 @@ def main():
     if p50_ms is not None:
         # end-to-end single-frame round trip (relay-RTT-bound when tunneled)
         result["p50_stream_frame_latency_ms"] = round(p50_ms, 3)
+    result["note"] = ("p50 includes tunnel RTT; on_chip_frame_ms is device "
+                      "compute. Throughput varies a few % run-to-run "
+                      "through the relay.")
     print(json.dumps(result))
 
 

@@ -207,8 +207,13 @@ class AudioFeatures:
             batch = np.asarray(x[i:i + batch_size], in_dtype)
             n = batch.shape[0]
             if sharding is not None:
+                # Bucket every sub-batch (tails included) to one fixed shape:
+                # batch_size rounded up to a device multiple. One compiled
+                # signature per geometry — a ragged final batch never
+                # retraces under serving load.
                 n_dev = len(jax.devices())
-                pad = (-n) % n_dev
+                bucket = -(-batch_size // n_dev) * n_dev
+                pad = bucket - n
                 if pad:
                     batch = np.concatenate(
                         [batch, np.zeros((pad,) + batch.shape[1:],

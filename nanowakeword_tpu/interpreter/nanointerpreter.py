@@ -235,9 +235,9 @@ class NanoInterpreter:
 
         encoder_vars = kwargs.pop("encoder_variables", None)
         for mdl_path in wakeword_models:
-            mdl_name = os.path.splitext(os.path.basename(mdl_path))[0]
-            if mdl_name in self.models:
-                logging.warning(f"Model '{mdl_name}' already loaded. Skipping.")
+            model_key = os.path.splitext(os.path.basename(mdl_path))[0]
+            if model_key in self.models:
+                logging.warning(f"Model '{model_key}' already loaded. Skipping.")
                 continue
             if mdl_path.endswith(".onnx"):
                 # exported interchange graphs compile onto the JAX backend
@@ -248,13 +248,13 @@ class NanoInterpreter:
             else:
                 header, model, enc_vars = load_nww(mdl_path)
                 session = _LocalSession(model, header)
-            self.models[mdl_name] = session
-            self.model_feature_length[mdl_name] = session.feature_length
-            self.is_stateful[mdl_name] = session.stateful
-            self.hidden_states[mdl_name] = None
-            self.class_mapping[mdl_name] = {"0": mdl_name}
-            self.raw_scores[mdl_name] = 0.0
-            self.post_processed_scores[mdl_name] = 0.0
+            self.models[model_key] = session
+            self.model_feature_length[model_key] = session.feature_length
+            self.is_stateful[model_key] = session.stateful
+            self.hidden_states[model_key] = None
+            self.class_mapping[model_key] = {"0": model_key}
+            self.raw_scores[model_key] = 0.0
+            self.post_processed_scores[model_key] = 0.0
             if encoder_vars is None and enc_vars is not None:
                 encoder_vars = enc_vars
 
@@ -409,7 +409,7 @@ class NanoInterpreter:
                 if not os.path.exists(gate_model):
                     raise FileNotFoundError(
                         f"The specified gate model does not exist: {gate_model}")
-                resolved_gate_path = gate_model
+                gate_path_found = gate_model
                 gate_name = os.path.splitext(os.path.basename(gate_model))[0]
                 logging.info(f"[NanoInterpreter] Cascade (custom gate): "
                              f"gate='{gate_name}' -> verifier='{stem}'")
@@ -419,28 +419,28 @@ class NanoInterpreter:
                 # auto-discover `<stem>_lite` beside the model: the native
                 # artifact first, then the interchange `.onnx` (the
                 # reference's discovery target, nanointerpreter.py:443-487)
-                resolved_gate_path = None
+                gate_path_found = None
                 for ext in (EXTENSION, ".onnx"):
                     candidate = os.path.join(model_dir, gate_name + ext)
                     if os.path.exists(candidate):
-                        resolved_gate_path = candidate
+                        gate_path_found = candidate
                         break
-                if resolved_gate_path is None:
-                    resolved_gate_path = os.path.join(model_dir,
+                if gate_path_found is None:
+                    gate_path_found = os.path.join(model_dir,
                                                       gate_name + EXTENSION)
-                if not os.path.exists(resolved_gate_path):
+                if not os.path.exists(gate_path_found):
                     logging.warning(
                         f"[NanoInterpreter] cascade=True but no lite model at "
-                        f"'{resolved_gate_path}'. Falling back to single-model "
+                        f"'{gate_path_found}'. Falling back to single-model "
                         "mode. Generate one with: nanowakeword-tpu -c "
                         "config.yaml --distill")
-                    resolved_gate_path = None
+                    gate_path_found = None
                 else:
                     logging.info(
                         f"[NanoInterpreter] Cascade (auto-discovered): "
                         f"gate='{gate_name}' -> verifier='{stem}'")
-            if resolved_gate_path:
-                paths = [resolved_gate_path, main_path]
+            if gate_path_found:
+                paths = [gate_path_found, main_path]
                 cascade_cfg = {"gate": gate_name, "verifier": stem,
                                "gate_threshold": gate_threshold}
 
@@ -501,9 +501,9 @@ class NanoInterpreter:
 
     def _setup_components(self, **kwargs):
         self.prediction_buffer = defaultdict(partial(deque, maxlen=30))
-        enable_nr = kwargs.pop("enable_noise_reduction", False)
-        self.noise_reducer_enabled = enable_nr
-        if enable_nr and not NOISEREDUCE_AVAILABLE:
+        use_noise_reduction = kwargs.pop("enable_noise_reduction", False)
+        self.noise_reducer_enabled = use_noise_reduction
+        if use_noise_reduction and not NOISEREDUCE_AVAILABLE:
             logging.warning("`enable_noise_reduction` is True, but "
                             "`noisereduce` is not installed. Disabling.")
             self.noise_reducer_enabled = False
@@ -515,8 +515,8 @@ class NanoInterpreter:
 
     def _setup_components_no_preprocessor(self, **kwargs):
         self.prediction_buffer = defaultdict(partial(deque, maxlen=30))
-        enable_nr = kwargs.pop("enable_noise_reduction", False)
-        self.noise_reducer_enabled = enable_nr and NOISEREDUCE_AVAILABLE
+        use_noise_reduction = kwargs.pop("enable_noise_reduction", False)
+        self.noise_reducer_enabled = use_noise_reduction and NOISEREDUCE_AVAILABLE
         self.vad_threshold = kwargs.pop("vad_threshold", 0)
         if self.vad_threshold > 0:
             from nanowakeword_tpu.interpreter.vad import VAD
@@ -597,39 +597,39 @@ class NanoInterpreter:
         pre.accumulated_samples = pre._chunker.pending
 
         frames_avail = min(pre._frames_seen, pre.state.feat_buf.shape[0])
-        current_raw_preds = {}
-        for mdl_name, score in raw.items():
-            if frames_avail < self.model_feature_length[mdl_name]:
-                current_raw_preds[mdl_name] = 0.0
+        chunk_scores = {}
+        for model_key, score in raw.items():
+            if frames_avail < self.model_feature_length[model_key]:
+                chunk_scores[model_key] = 0.0
                 continue
             if self.cascade_config \
-                    and mdl_name == self.cascade_config["verifier"]:
-                gate_score = current_raw_preds.get(
+                    and model_key == self.cascade_config["verifier"]:
+                gate_score = chunk_scores.get(
                     self.cascade_config["gate"], 0.0)
                 if gate_score < self.cascade_config["gate_threshold"]:
-                    current_raw_preds[mdl_name] = 0.0
+                    chunk_scores[model_key] = 0.0
                     continue
             score = float(score)
-            self.raw_scores[mdl_name] = score
-            if len(self.prediction_buffer.get(mdl_name, [])) < 5:
+            self.raw_scores[model_key] = score
+            if len(self.prediction_buffer.get(model_key, [])) < 5:
                 score = 0.0
-            current_raw_preds[mdl_name] = score
+            chunk_scores[model_key] = score
 
-        final_predictions = current_raw_preds.copy()
+        gated_scores = chunk_scores.copy()
         if self.vad_threshold > 0:
             self.vad(x)
             vad_frames = list(self.vad.prediction_buffer)[-7:-4]
             vad_max = np.max(vad_frames) if len(vad_frames) > 0 else 0
             if vad_max < self.vad_threshold:
-                for mdl_name in final_predictions:
-                    final_predictions[mdl_name] = 0.0
+                for model_key in gated_scores:
+                    gated_scores[model_key] = 0.0
 
-        self._apply_post_processing(final_predictions, patience, threshold,
+        self._apply_post_processing(gated_scores, patience, threshold,
                                     debounce_time, n_prepared)
-        for mdl_name, score in final_predictions.items():
-            self.prediction_buffer[mdl_name].append(score)
-            self.post_processed_scores[mdl_name] = score
-        return DetectionResult(scores=dict(final_predictions),
+        for model_key, score in gated_scores.items():
+            self.prediction_buffer[model_key].append(score)
+            self.post_processed_scores[model_key] = score
+        return DetectionResult(scores=dict(gated_scores),
                                model_name=self.model_name,
                                gate_name=self.gate_name)
 
@@ -646,17 +646,17 @@ class NanoInterpreter:
 
         # full-remote: no local preprocessor, raw audio to the server
         if self.preprocessor is None:
-            current_raw_preds = {}
-            for mdl_name, session in self.models.items():
+            chunk_scores = {}
+            for model_key, session in self.models.items():
                 score = session.run_audio(x)
-                self.raw_scores[mdl_name] = score
-                if len(self.prediction_buffer.get(mdl_name, [])) < 5:
+                self.raw_scores[model_key] = score
+                if len(self.prediction_buffer.get(model_key, [])) < 5:
                     score = 0.0
-                current_raw_preds[mdl_name] = score
-            for mdl_name, score in current_raw_preds.items():
-                self.prediction_buffer[mdl_name].append(score)
-                self.post_processed_scores[mdl_name] = score
-            return DetectionResult(scores=dict(current_raw_preds),
+                chunk_scores[model_key] = score
+            for model_key, score in chunk_scores.items():
+                self.prediction_buffer[model_key].append(score)
+                self.post_processed_scores[model_key] = score
+            return DetectionResult(scores=dict(chunk_scores),
                                    model_name=self.model_name,
                                    gate_name=self.gate_name)
 
@@ -669,13 +669,13 @@ class NanoInterpreter:
                                    model_name=self.model_name,
                                    gate_name=self.gate_name)
 
-        current_raw_preds = {}
-        for mdl_name, session in self.models.items():
-            required_frames = self.model_feature_length[mdl_name]
+        chunk_scores = {}
+        for model_key, session in self.models.items():
+            required_frames = self.model_feature_length[model_key]
 
             # warm-up guard (nanointerpreter.py:660-662)
             if self.preprocessor.feature_buffer.shape[0] < required_frames:
-                current_raw_preds[mdl_name] = 0.0
+                chunk_scores[model_key] = 0.0
                 continue
 
             # cascade gate check (nanointerpreter.py:665-674)
@@ -683,26 +683,26 @@ class NanoInterpreter:
                 gate_name_ = self.cascade_config["gate"]
                 verifier_name = self.cascade_config["verifier"]
                 gate_thr = self.cascade_config["gate_threshold"]
-                if mdl_name == verifier_name:
-                    if current_raw_preds.get(gate_name_, 0.0) < gate_thr:
-                        current_raw_preds[mdl_name] = 0.0
+                if model_key == verifier_name:
+                    if chunk_scores.get(gate_name_, 0.0) < gate_thr:
+                        chunk_scores[model_key] = 0.0
                         continue
 
             features = self.preprocessor.get_features(required_frames)
-            if self.is_stateful.get(mdl_name, False):
+            if self.is_stateful.get(model_key, False):
                 score, new_carry = session.run(
-                    features, carry=self.hidden_states.get(mdl_name))
-                self.hidden_states[mdl_name] = new_carry
+                    features, carry=self.hidden_states.get(model_key))
+                self.hidden_states[model_key] = new_carry
             else:
                 score, _ = session.run(features)
 
-            self.raw_scores[mdl_name] = score
+            self.raw_scores[model_key] = score
             # zero initial predictions (nanointerpreter.py:694-696)
-            if len(self.prediction_buffer.get(mdl_name, [])) < 5:
+            if len(self.prediction_buffer.get(model_key, [])) < 5:
                 score = 0.0
-            current_raw_preds[mdl_name] = score
+            chunk_scores[model_key] = score
 
-        final_predictions = current_raw_preds.copy()
+        gated_scores = chunk_scores.copy()
 
         # VAD gate over frames [-7:-4] (nanointerpreter.py:703-709)
         if self.vad_threshold > 0:
@@ -710,17 +710,17 @@ class NanoInterpreter:
             vad_frames = list(self.vad.prediction_buffer)[-7:-4]
             vad_max = np.max(vad_frames) if len(vad_frames) > 0 else 0
             if vad_max < self.vad_threshold:
-                for mdl_name in final_predictions:
-                    final_predictions[mdl_name] = 0.0
+                for model_key in gated_scores:
+                    gated_scores[model_key] = 0.0
 
-        self._apply_post_processing(final_predictions, patience, threshold,
+        self._apply_post_processing(gated_scores, patience, threshold,
                                     debounce_time, n_prepared_samples)
 
-        for mdl_name, score in final_predictions.items():
-            self.prediction_buffer[mdl_name].append(score)
-            self.post_processed_scores[mdl_name] = score
+        for model_key, score in gated_scores.items():
+            self.prediction_buffer[model_key].append(score)
+            self.post_processed_scores[model_key] = score
 
-        return DetectionResult(scores=dict(final_predictions),
+        return DetectionResult(scores=dict(gated_scores),
                                model_name=self.model_name,
                                gate_name=self.gate_name)
 
@@ -728,11 +728,11 @@ class NanoInterpreter:
         self.prediction_buffer.clear()
         if self.preprocessor is not None:
             self.preprocessor.reset()
-        for mdl_name in self.hidden_states:
-            self.hidden_states[mdl_name] = None
-        for mdl_name in self.raw_scores:
-            self.raw_scores[mdl_name] = 0.0
-            self.post_processed_scores[mdl_name] = 0.0
+        for model_key in self.hidden_states:
+            self.hidden_states[model_key] = None
+        for model_key in self.raw_scores:
+            self.raw_scores[model_key] = 0.0
+            self.post_processed_scores[model_key] = 0.0
 
     def predict_clip(self, clip: Union[str, np.ndarray],
                      chunk_size: int = 1280, **kwargs) -> list:
@@ -859,25 +859,25 @@ class NanoInterpreter:
             raise ValueError("`patience` and `debounce_time` cannot be used "
                              "together.")
 
-        for mdl_name in predictions.keys():
-            if predictions[mdl_name] == 0.0:
+        for model_key in predictions.keys():
+            if predictions[model_key] == 0.0:
                 continue
-            if mdl_name in patience:
-                required = patience[mdl_name]
-                if len(self.prediction_buffer[mdl_name]) < required:
-                    predictions[mdl_name] = 0.0
+            if model_key in patience:
+                required = patience[model_key]
+                if len(self.prediction_buffer[model_key]) < required:
+                    predictions[model_key] = 0.0
                     continue
                 recent = np.array(
-                    list(self.prediction_buffer[mdl_name])[-(required - 1):]
-                    + [predictions[mdl_name]])
-                if (recent >= threshold[mdl_name]).sum() < required:
-                    predictions[mdl_name] = 0.0
-            elif debounce_time > 0 and mdl_name in threshold:
+                    list(self.prediction_buffer[model_key])[-(required - 1):]
+                    + [predictions[model_key]])
+                if (recent >= threshold[model_key]).sum() < required:
+                    predictions[model_key] = 0.0
+            elif debounce_time > 0 and model_key in threshold:
                 frame_dur = n_prepared_samples / 16000.0
                 if frame_dur <= 0:
                     continue
                 n_check = int(np.ceil(debounce_time / frame_dur))
-                recent = np.array(self.prediction_buffer[mdl_name])[-n_check:]
-                if (predictions[mdl_name] >= threshold[mdl_name]
-                        and (recent >= threshold[mdl_name]).any()):
-                    predictions[mdl_name] = 0.0
+                recent = np.array(self.prediction_buffer[model_key])[-n_check:]
+                if (predictions[model_key] >= threshold[model_key]
+                        and (recent >= threshold[model_key]).any()):
+                    predictions[model_key] = 0.0

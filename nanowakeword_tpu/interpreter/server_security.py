@@ -152,7 +152,7 @@ class SecurityManager:
         self._keys = KeyStore(config.api_keys)
         self._tokens = TokenSigner(config.token_secret)
         if config.enable_tokens and not config.token_secret:
-            logger.info("[Security] Token secret auto-generated; set "
+            logger.info("security: Token secret auto-generated; set "
                         "token_secret explicitly for persistent deployments.")
 
         self._request_log: Dict[str, deque] = defaultdict(deque)
@@ -165,7 +165,7 @@ class SecurityManager:
                 self._networks.append(ipaddress.ip_network(entry,
                                                            strict=False))
             except ValueError:
-                logger.warning(f"[Security] Invalid allowlist entry ignored: "
+                logger.warning(f"security: Invalid allowlist entry ignored: "
                                f"'{entry}'")
 
         self._ssl_context: Optional[ssl.SSLContext] = None
@@ -176,10 +176,10 @@ class SecurityManager:
             if config.ssl_ca_certs:
                 ctx.load_verify_locations(cafile=config.ssl_ca_certs)
                 ctx.verify_mode = ssl.CERT_REQUIRED
-                logger.info("[Security] Mutual TLS (mTLS) enabled.")
+                logger.info("security: Mutual TLS (mTLS) enabled.")
             self._ssl_context = ctx
 
-        logger.info(f"[Security] Active features: {config.summary()}")
+        logger.info(f"security: Active features: {config.summary()}")
 
     @property
     def ssl_context(self) -> Optional[ssl.SSLContext]:
@@ -204,7 +204,7 @@ class SecurityManager:
         try:
             addr = ipaddress.ip_address(ip)
         except ValueError:
-            logger.warning(f"[Security] Could not parse client IP: '{ip}'")
+            logger.warning(f"security: Could not parse client IP: '{ip}'")
             return False
         return any(addr in net for net in self._networks)
 
@@ -219,24 +219,27 @@ class SecurityManager:
         return False
 
     def record_request(self, ip: str) -> bool:
+        """Sliding-window per-IP message budget; returns False when the
+        sender is over budget (and bans it if ban_duration > 0)."""
         if not self.config.rate_limiting_enabled:
             return True
         now = time.time()
         window = self._request_log[ip]
-        cutoff = now - self.config.rate_window
-        while window and window[0] < cutoff:
+        while window and now - window[0] > self.config.rate_window:
             window.popleft()
-        if len(window) >= self.config.rate_limit:
-            if self.config.ban_duration > 0:
-                self._bans[ip] = now + self.config.ban_duration
-                logger.warning(f"[Security] Rate limit exceeded by {ip}; "
-                               f"banned {self.config.ban_duration}s.")
-            else:
-                logger.warning(f"[Security] Rate limit exceeded by {ip}; "
-                               "dropping message.")
-            return False
-        window.append(now)
-        return True
+        if len(window) < self.config.rate_limit:
+            window.append(now)
+            return True
+        if self.config.ban_duration > 0:
+            self._bans[ip] = now + self.config.ban_duration
+            logger.warning("security: %s over message budget "
+                           "(%d/%ds) — banned for %ds", ip,
+                           self.config.rate_limit, self.config.rate_window,
+                           self.config.ban_duration)
+        else:
+            logger.warning("security: %s over message budget — "
+                           "message dropped", ip)
+        return False
 
     # auth
     def verify_api_key(self, key: str) -> bool:
@@ -258,10 +261,10 @@ class SecurityManager:
             return False, "server at max connections"
         ip = client_ip(websocket)
         if not self.ip_allowed(ip):
-            logger.warning(f"[Security] Rejected non-allowlisted IP: {ip}")
+            logger.warning(f"security: Rejected non-allowlisted IP: {ip}")
             return False, f"IP {ip} not in allowlist"
         if self.is_banned(ip):
-            logger.warning(f"[Security] Rejected banned IP: {ip}")
+            logger.warning(f"security: Rejected banned IP: {ip}")
             return False, f"IP {ip} is temporarily banned"
         if self.config.auth_enabled:
             headers = request_headers(websocket)
@@ -271,10 +274,10 @@ class SecurityManager:
                     return True, "ok"
             api_key = headers.get("x-api-key", "")
             if not api_key:
-                logger.warning(f"[Security] Missing X-API-Key from {ip}")
+                logger.warning(f"security: Missing X-API-Key from {ip}")
                 return False, "missing X-API-Key header"
             if not self.verify_api_key(api_key):
-                logger.warning(f"[Security] Invalid API key from {ip}")
+                logger.warning(f"security: Invalid API key from {ip}")
                 return False, "invalid API key"
         return True, "ok"
 

@@ -28,15 +28,16 @@ def shard_train_state(state: TrainState, mesh) -> TrainState:
     def put_repl(x):
         return jax.device_put(x, repl)
 
-    # Optimizer state mirrors parameter shapes where possible; replicate
-    # scalars and shard moment buffers like their parameters.
-    def put_opt(leaf):
-        return jax.device_put(leaf, repl)
+    # Optimizer state mirrors parameter shapes: moment buffers satisfy the
+    # same shape rule as their parameter and land on the same devices;
+    # scalar leaves (counts, schedule state) replicate.
+    oshard = M.opt_shardings(state.opt_state, mesh)
+    opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state, oshard)
 
     return TrainState(
         params=params,
         batch_stats=jax.tree_util.tree_map(put_repl, state.batch_stats),
-        opt_state=jax.tree_util.tree_map(put_opt, state.opt_state),
+        opt_state=opt_state,
         step=put_repl(state.step),
         rng=put_repl(state.rng),
     )

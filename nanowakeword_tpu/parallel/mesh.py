@@ -58,3 +58,15 @@ def param_shardings(params, mesh: Mesh, tp_threshold: int = 256):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(rule, params)
+
+
+def opt_shardings(opt_state, mesh: Mesh, tp_threshold: int = 256):
+    """Per-leaf shardings for optimizer state.
+
+    Moment buffers (AdamW mu/nu, momentum, …) have the same shape as the
+    parameter they track, so the `param_shardings` shape rule places them on
+    the same devices as that parameter — no resharding per update, and TP
+    params don't pay replicated-moment HBM. Scalar leaves (step counts,
+    schedule state) fall through to replicated.
+    """
+    return param_shardings(opt_state, mesh, tp_threshold=tp_threshold)
