@@ -214,18 +214,23 @@ def export_onnx_model(model, input_shape, config, model_name: str,
 
     Self-contained: the graph is built straight from the Flax parameters and
     serialized by the bundled protobuf writer — no onnx/torch dependency.
-    Covers every zoo family except user-supplied `custom` modules (see
-    onnx_export.SUPPORTED_TYPES: conv families, native GRU/LSTM nodes for
-    recurrent ones, lowered MHSA for attention, stateful streaming_gru) —
-    including the pipeline's distilled lite/gate students. `custom` models
-    return None with a pointer to the .nww artifact, their deploy path.
+    Covers EVERY family: the zoo (conv families, native GRU/LSTM nodes for
+    recurrent ones, lowered MHSA for attention, stateful streaming_gru),
+    the pipeline's distilled lite/gate students, AND user-supplied `custom`
+    modules via jaxpr lowering (jaxpr_onnx.py) — matching the reference's
+    torch.onnx.export-any-nn.Module contract. A custom module using a
+    primitive with no ONNX lowering returns None (deploys via .nww).
     """
     from nanowakeword_tpu.export.onnx_export import SUPPORTED_TYPES, \
         export_onnx
-    if model.model_type not in SUPPORTED_TYPES:
-        print_error(f"ONNX export covers {SUPPORTED_TYPES} models; "
-                    f"'{model.model_type}' deploys via the .nww artifact "
-                    "(served by the jitted runtime).")
+    if model.model_type not in SUPPORTED_TYPES + ("custom", "custom_model"):
+        print_error(f"ONNX export covers {SUPPORTED_TYPES} plus 'custom' "
+                    f"models; '{model.model_type}' deploys via the .nww "
+                    "artifact (served by the jitted runtime).")
         return None
     path = os.path.join(output_dir, model_name + ".onnx")
-    return export_onnx(model, path, input_shape=input_shape)
+    try:
+        return export_onnx(model, path, input_shape=input_shape)
+    except NotImplementedError as e:
+        print_error(f"ONNX export skipped: {e}")
+        return None

@@ -1,0 +1,541 @@
+"""Arbitrary Flax modules -> ONNX, by translating their jaxpr.
+
+Closes the last export hole vs. the reference, which runs ANY user
+nn.Module through torch.onnx.export (`/root/reference/nanowakeword/_export/
+onnx.py:26-88`, custom loading `modules/model.py:155-211`): here the
+`custom` family (and any other pure-forward Flax module) is abstractly
+traced to a jaxpr and each primitive is lowered to ONNX ops, reusing the
+same dependency-free protobuf writer (onnx_proto.py) as the hand-built zoo
+exporters.
+
+Dynamic batch: the module is traced with a sentinel batch size; shapes that
+carry the sentinel in their leading dim are rebuilt with -1 in Reshape
+targets, and contractions lower to Einsum (whose letter equation is
+shape-agnostic), so the emitted graph accepts any batch size — the
+reference's export contract. The exported graph is VALIDATED against the
+live module at two batch sizes by the bundled numpy evaluator
+(onnx_eval.py); if a module bakes its batch into the graph some other way,
+export falls back to a fixed batch_size=1 trace (still a working export).
+
+Supported primitive families (what deterministic Flax forward passes are
+made of): elementwise arithmetic + activations, dot_general (-> Einsum),
+conv_general_dilated (-> Conv with NCHW boundary transposes), reductions,
+reshape/transpose/broadcast/concat/slice/pad/squeeze, comparisons +
+select_n (lowered to Cast/blend arithmetic), and inlined call primitives
+(pjit, custom_jvp/vjp, remat). Anything else raises ExportUnsupported with
+the primitive's name — such models still deploy via the `.nww` artifact.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nanowakeword_tpu.export import onnx_proto as P
+
+# sentinel batch size for tracing: prime and large enough that a collision
+# with a real (static) dimension of the module is effectively impossible
+_SENTINEL_BATCH = 509
+
+
+class ExportUnsupported(NotImplementedError):
+    """A jaxpr primitive with no ONNX lowering."""
+
+
+class _Builder:
+    """Node/initializer accumulator (mirrors onnx_export._GraphBuilder)."""
+
+    def __init__(self):
+        self.nodes: List[bytes] = []
+        self.inits: List[bytes] = []
+        self._n = 0
+
+    def name(self, hint: str) -> str:
+        self._n += 1
+        return f"{hint}_{self._n}"
+
+    def init_tensor(self, hint: str, array) -> str:
+        nm = self.name(hint)
+        self.inits.append(P.tensor(nm, np.asarray(array)))
+        return nm
+
+    def add(self, op: str, inputs, n_out: int = 1, **attrs):
+        outs = [self.name(op.lower()) for _ in range(n_out)]
+        self.nodes.append(P.node(op, inputs, outs,
+                                 name=self.name(f"n_{op.lower()}"), **attrs))
+        return outs[0] if n_out == 1 else outs
+
+
+def _letters():
+    import string
+    return iter(string.ascii_lowercase)
+
+
+def _einsum_equation(dn, lhs_ndim: int, rhs_ndim: int) -> str:
+    """dot_general dimension_numbers -> an einsum equation string."""
+    (lc, rc), (lb, rb) = dn
+    it = _letters()
+    lhs = [None] * lhs_ndim
+    rhs = [None] * rhs_ndim
+    # shared letters for batch and contracting pairs
+    for i, j in zip(lb, rb):
+        letter = next(it)
+        lhs[i] = rhs[j] = letter
+    for i, j in zip(lc, rc):
+        letter = next(it)
+        lhs[i] = rhs[j] = letter
+    for i in range(lhs_ndim):
+        if lhs[i] is None:
+            lhs[i] = next(it)
+    for j in range(rhs_ndim):
+        if rhs[j] is None:
+            rhs[j] = next(it)
+    out = ([lhs[i] for i in lb]
+           + [lhs[i] for i in range(lhs_ndim) if i not in lb and i not in lc]
+           + [rhs[j] for j in range(rhs_ndim) if j not in rb and j not in rc])
+    return f"{''.join(lhs)},{''.join(rhs)}->{''.join(out)}"
+
+
+class _Translator:
+    """One jaxpr -> ONNX nodes, tracking the sentinel batch dimension."""
+
+    def __init__(self, g: _Builder, dynamic_batch: bool):
+        self.g = g
+        self.dynamic = dynamic_batch
+        self.env: Dict[object, str] = {}   # jaxpr Var -> tensor name
+
+    # -- plumbing -----------------------------------------------------------
+
+    def read(self, atom) -> str:
+        from jax.extend.core import Literal
+        if isinstance(atom, Literal):
+            val = np.asarray(atom.val)
+            if val.dtype.kind in "fc":
+                val = val.astype(np.float32)
+            elif val.dtype.kind in "iub":
+                # integer literals feeding float math: keep as f32; true
+                # integer shape math never reaches the ONNX graph (it is
+                # resolved statically during tracing)
+                val = val.astype(np.float32)
+            return self.g.init_tensor("lit", val)
+        return self.env[atom]
+
+    def write(self, var, name: str):
+        self.env[var] = name
+
+    @staticmethod
+    def _shape(atom):
+        return tuple(atom.aval.shape)
+
+    def _target_shape(self, shape) -> np.ndarray:
+        """A static shape -> ONNX Reshape target, batch dim -> -1."""
+        out = []
+        for i, d in enumerate(shape):
+            if self.dynamic and d == _SENTINEL_BATCH:
+                if i != 0 or any(x == _SENTINEL_BATCH for x in shape[1:]):
+                    raise ExportUnsupported(
+                        "batch dimension leaves the leading axis")
+                out.append(-1)
+            else:
+                out.append(int(d))
+        return np.asarray(out, np.int64)
+
+    # -- the walk -----------------------------------------------------------
+
+    def run(self, jaxpr, consts):
+        g = self.g
+        for var, cval in zip(jaxpr.constvars, consts):
+            arr = np.asarray(cval)
+            if arr.dtype.kind in "fc":
+                arr = arr.astype(np.float32)
+            elif arr.dtype.kind in "iub":
+                arr = arr.astype(np.float32)
+            self.write(var, g.init_tensor("const", arr))
+        for eqn in jaxpr.eqns:
+            self.eqn(eqn)
+
+    def eqn(self, eqn):
+        prim = eqn.primitive.name
+        handler = getattr(self, f"p_{prim}", None)
+        if handler is None:
+            handler = _ELEMENTWISE.get(prim)
+            if handler is not None:
+                out = self.g.add(handler, [self.read(v)
+                                           for v in eqn.invars])
+                self.write(eqn.outvars[0], out)
+                return
+            raise ExportUnsupported(
+                f"jax primitive '{prim}' has no ONNX lowering (this model "
+                "still deploys via the .nww artifact)")
+        handler(eqn)
+
+    # -- call primitives: inline -------------------------------------------
+
+    def _inline(self, eqn, inner, consts):
+        for outer, inner_v in zip(eqn.invars, inner.invars):
+            self.write(inner_v, self.read(outer))
+        sub = _Translator(self.g, self.dynamic)
+        sub.env = self.env
+        sub.run(inner, consts)
+        for outer, inner_v in zip(eqn.outvars, inner.outvars):
+            self.write(outer, sub.read(inner_v))
+
+    def p_pjit(self, eqn):
+        closed = eqn.params["jaxpr"]
+        self._inline(eqn, closed.jaxpr, closed.consts)
+
+    p_jit = p_pjit   # the primitive's name in newer jax versions
+
+    def p_closed_call(self, eqn):
+        closed = eqn.params["call_jaxpr"]
+        self._inline(eqn, closed.jaxpr, closed.consts)
+
+    def p_custom_jvp_call(self, eqn):
+        closed = eqn.params["call_jaxpr"]
+        self._inline(eqn, closed.jaxpr, closed.consts)
+
+    def p_custom_vjp_call(self, eqn):
+        closed = eqn.params["call_jaxpr"]
+        self._inline(eqn, closed.jaxpr, closed.consts)
+
+    def p_custom_vjp_call_jaxpr(self, eqn):
+        closed = eqn.params["fun_jaxpr"]
+        self._inline(eqn, closed.jaxpr, closed.consts)
+
+    def p_remat(self, eqn):
+        self._inline(eqn, eqn.params["jaxpr"], ())
+
+    def p_checkpoint(self, eqn):
+        self._inline(eqn, eqn.params["jaxpr"], ())
+
+    # -- structure ----------------------------------------------------------
+
+    def p_reshape(self, eqn):
+        tgt = self._target_shape(eqn.outvars[0].aval.shape)
+        out = self.g.add("Reshape", [self.read(eqn.invars[0]),
+                                     self.g.init_tensor("shape", tgt)])
+        self.write(eqn.outvars[0], out)
+
+    def p_squeeze(self, eqn):
+        self.p_reshape(eqn)
+
+    def p_expand_dims(self, eqn):
+        self.p_reshape(eqn)
+
+    def p_transpose(self, eqn):
+        perm = [int(p_) for p_ in eqn.params["permutation"]]
+        out = self.g.add("Transpose", [self.read(eqn.invars[0])], perm=perm)
+        self.write(eqn.outvars[0], out)
+
+    def p_broadcast_in_dim(self, eqn):
+        in_shape = self._shape(eqn.invars[0])
+        out_shape = tuple(eqn.outvars[0].aval.shape)
+        bdims = tuple(eqn.params["broadcast_dimensions"])
+        x = self.read(eqn.invars[0])
+        # step 1: Reshape to out rank with 1s at new axes (static sizes).
+        # A batch-sized operand dim becomes ONNX Reshape's 0 ("copy the
+        # input dim at this index") so the graph stays batch-symbolic.
+        mid = [1] * len(out_shape)
+        for src, dst in enumerate(bdims):
+            d = int(in_shape[src])
+            if self.dynamic and d == _SENTINEL_BATCH:
+                if dst != src:
+                    raise ExportUnsupported(
+                        "broadcast moves the batch axis")
+                mid[dst] = 0
+            else:
+                mid[dst] = d
+        if tuple(mid) != in_shape:
+            x = self.g.add("Reshape", [x, self.g.init_tensor(
+                "shape", np.asarray(mid, np.int64))])
+        # step 2: expansion. ONNX elementwise ops broadcast numpy-style, so
+        # size-1 axes need no materialisation; Expand only where a consumer
+        # might need real sizes. Use dim=1 at the batch axis (Expand keeps
+        # the input's dim there) — consumers broadcast it against the batch.
+        need_expand = any(m == 1 and o != 1 and not (
+            self.dynamic and o == _SENTINEL_BATCH)
+            for m, o in zip(mid, out_shape))
+        if need_expand:
+            tgt = [1 if (self.dynamic and o == _SENTINEL_BATCH) else int(o)
+                   for o in out_shape]
+            x = self.g.add("Expand", [x, self.g.init_tensor(
+                "shape", np.asarray(tgt, np.int64))])
+        self.write(eqn.outvars[0], x)
+
+    def p_concatenate(self, eqn):
+        out = self.g.add("Concat", [self.read(v) for v in eqn.invars],
+                         axis=int(eqn.params["dimension"]))
+        self.write(eqn.outvars[0], out)
+
+    def p_slice(self, eqn):
+        strides = eqn.params.get("strides")
+        if strides is not None and any(int(s) != 1 for s in strides):
+            raise ExportUnsupported("strided slice")
+        starts = [int(s) for s in eqn.params["start_indices"]]
+        ends = [int(e) for e in eqn.params["limit_indices"]]
+        in_shape = self._shape(eqn.invars[0])
+        # batch axis: full-range slices stay full-range at any batch size
+        for i, (s, e, d) in enumerate(zip(starts, ends, in_shape)):
+            if self.dynamic and d == _SENTINEL_BATCH:
+                if s != 0 or e != d:
+                    raise ExportUnsupported("slicing the batch axis")
+                ends[i] = 2**31 - 1
+        axes = list(range(len(starts)))
+        out = self.g.add("Slice", [
+            self.read(eqn.invars[0]),
+            self.g.init_tensor("starts", np.asarray(starts, np.int64)),
+            self.g.init_tensor("ends", np.asarray(ends, np.int64)),
+            self.g.init_tensor("axes", np.asarray(axes, np.int64))])
+        self.write(eqn.outvars[0], out)
+
+    def p_pad(self, eqn):
+        cfg = eqn.params["padding_config"]
+        if any(int(i) != 0 for _, _, i in cfg):
+            raise ExportUnsupported("interior (dilated) padding")
+        if any(int(lo) < 0 or int(hi) < 0 for lo, hi, _ in cfg):
+            raise ExportUnsupported("negative padding")
+        pads = ([int(lo) for lo, _, _ in cfg]
+                + [int(hi) for _, hi, _ in cfg])
+        out = self.g.add("Pad", [
+            self.read(eqn.invars[0]),
+            self.g.init_tensor("pads", np.asarray(pads, np.int64)),
+            self.read(eqn.invars[1])])    # pad value (scalar)
+        self.write(eqn.outvars[0], out)
+
+    def p_convert_element_type(self, eqn):
+        # all float compute is f32 in the emitted graph; other conversions
+        # were resolved during tracing
+        self.write(eqn.outvars[0], self.g.add(
+            "Identity", [self.read(eqn.invars[0])]))
+
+    def p_stop_gradient(self, eqn):
+        self.write(eqn.outvars[0], self.g.add(
+            "Identity", [self.read(eqn.invars[0])]))
+
+    def p_copy(self, eqn):
+        self.write(eqn.outvars[0], self.g.add(
+            "Identity", [self.read(eqn.invars[0])]))
+
+    # -- math ---------------------------------------------------------------
+
+    def p_dot_general(self, eqn):
+        dn = eqn.params["dimension_numbers"]
+        lhs, rhs = eqn.invars
+        eqn_str = _einsum_equation(dn, len(self._shape(lhs)),
+                                   len(self._shape(rhs)))
+        out = self.g.add("Einsum", [self.read(lhs), self.read(rhs)],
+                         equation=eqn_str)
+        self.write(eqn.outvars[0], out)
+
+    def p_integer_pow(self, eqn):
+        y = float(eqn.params["y"])
+        out = self.g.add("Pow", [self.read(eqn.invars[0]),
+                                 self.g.init_tensor(
+                                     "exp", np.float32(y))])
+        self.write(eqn.outvars[0], out)
+
+    def p_rsqrt(self, eqn):
+        s = self.g.add("Sqrt", [self.read(eqn.invars[0])])
+        self.write(eqn.outvars[0], self.g.add("Reciprocal", [s]))
+
+    def p_square(self, eqn):
+        x = self.read(eqn.invars[0])
+        self.write(eqn.outvars[0], self.g.add("Mul", [x, x]))
+
+    def p_logistic(self, eqn):
+        self.write(eqn.outvars[0], self.g.add(
+            "Sigmoid", [self.read(eqn.invars[0])]))
+
+    def _reduce(self, eqn, op):
+        axes = [int(a) for a in eqn.params["axes"]]
+        in_shape = self._shape(eqn.invars[0])
+        if self.dynamic and any(in_shape[a] == _SENTINEL_BATCH
+                                for a in axes):
+            raise ExportUnsupported("reduction over the batch axis")
+        if op == "ReduceSum":     # opset 13+: axes is an input
+            out = self.g.add(op, [self.read(eqn.invars[0]),
+                                  self.g.init_tensor(
+                                      "axes", np.asarray(axes, np.int64))],
+                             keepdims=0)
+        else:                     # opset<18 attr form (matches onnx_eval)
+            out = self.g.add(op, [self.read(eqn.invars[0])],
+                             axes=axes, keepdims=0)
+        self.write(eqn.outvars[0], out)
+
+    def p_reduce_sum(self, eqn):
+        self._reduce(eqn, "ReduceSum")
+
+    def p_reduce_max(self, eqn):
+        self._reduce(eqn, "ReduceMax")
+
+    def p_reduce_min(self, eqn):
+        self._reduce(eqn, "ReduceMin")
+
+    # comparisons: emit the ONNX comparison (bool) + Cast to f32 so the
+    # select_n blend below stays pure f32 arithmetic
+    def _compare(self, eqn, op, swap=False):
+        a, b = self.read(eqn.invars[0]), self.read(eqn.invars[1])
+        if swap:
+            a, b = b, a
+        c = self.g.add(op, [a, b])
+        out = self.g.add("Cast", [c], to=P.FLOAT)
+        self.write(eqn.outvars[0], out)
+
+    def p_gt(self, eqn):
+        self._compare(eqn, "Greater")
+
+    def p_lt(self, eqn):
+        self._compare(eqn, "Less")
+
+    def p_ge(self, eqn):
+        self._compare(eqn, "GreaterOrEqual")
+
+    def p_le(self, eqn):
+        self._compare(eqn, "LessOrEqual")
+
+    def p_eq(self, eqn):
+        self._compare(eqn, "Equal")
+
+    def p_select_n(self, eqn):
+        if len(eqn.invars) != 3:
+            raise ExportUnsupported("select_n with more than two cases")
+        pred = self.read(eqn.invars[0])        # f32 0/1 via the Cast above
+        on_false = self.read(eqn.invars[1])
+        on_true = self.read(eqn.invars[2])
+        a = self.g.add("Mul", [pred, on_true])
+        one = self.g.init_tensor("one", np.float32(1.0))
+        inv = self.g.add("Sub", [one, pred])
+        b = self.g.add("Mul", [inv, on_false])
+        self.write(eqn.outvars[0], self.g.add("Add", [a, b]))
+
+    def p_iota(self, eqn):
+        shape = tuple(eqn.outvars[0].aval.shape)
+        if self.dynamic and _SENTINEL_BATCH in shape:
+            raise ExportUnsupported("iota over the batch axis")
+        dim = int(eqn.params["dimension"])
+        arr = np.arange(shape[dim], dtype=np.float32)
+        arr = arr.reshape([-1 if i == dim else 1
+                           for i in range(len(shape))])
+        arr = np.broadcast_to(arr, shape).astype(np.float32)
+        self.write(eqn.outvars[0], self.g.init_tensor("iota", arr))
+
+    def p_conv_general_dilated(self, eqn):
+        params = eqn.params
+        if int(params.get("batch_group_count", 1)) != 1:
+            raise ExportUnsupported("batch_group_count != 1")
+        if any(int(d) != 1 for d in params.get("lhs_dilation", ())):
+            raise ExportUnsupported("transposed convolution (lhs_dilation)")
+        dn = params["dimension_numbers"]
+        lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
+        nd = len(lhs_spec)
+        spatial = nd - 2
+
+        x = self.read(eqn.invars[0])
+        # lhs_spec is (batch_pos, feature_pos, *spatial_pos): transposing by
+        # it yields the NC<spatial> layout ONNX Conv wants
+        lhs_perm = [lhs_spec[0], lhs_spec[1]] + list(lhs_spec[2:])
+        if lhs_perm != list(range(nd)):
+            x = self.g.add("Transpose", [x], perm=lhs_perm)
+
+        # kernel -> OI<spatial>: rhs_spec = (out_f, in_f, *spatial)
+        w = self.read(eqn.invars[1])
+        rhs_perm = [rhs_spec[0], rhs_spec[1]] + list(rhs_spec[2:])
+        if rhs_perm != list(range(nd)):
+            w = self.g.add("Transpose", [w], perm=rhs_perm)
+
+        padding = [(int(lo), int(hi)) for lo, hi in params["padding"]]
+        pads = [p_[0] for p_ in padding] + [p_[1] for p_ in padding]
+        out = self.g.add(
+            "Conv", [x, w],
+            pads=pads,
+            strides=[int(s) for s in params["window_strides"]],
+            dilations=[int(d) for d in params["rhs_dilation"]],
+            group=int(params.get("feature_group_count", 1)))
+
+        # NC<spatial> -> the jaxpr's output layout
+        out_rank = spatial + 2
+        inv = [0] * out_rank
+        onnx_order = [out_spec[0], out_spec[1]] + list(out_spec[2:])
+        for onnx_pos, jax_pos in enumerate(onnx_order):
+            inv[jax_pos] = onnx_pos
+        if inv != list(range(out_rank)):
+            out = self.g.add("Transpose", [out], perm=inv)
+        self.write(eqn.outvars[0], out)
+
+
+# primitives that are a 1:1 elementwise ONNX op
+_ELEMENTWISE = {
+    "add": "Add", "sub": "Sub", "mul": "Mul", "div": "Div",
+    "max": "Max", "min": "Min", "pow": "Pow",
+    "exp": "Exp", "log": "Log", "tanh": "Tanh", "erf": "Erf",
+    "sqrt": "Sqrt", "neg": "Neg", "abs": "Abs", "sign": "Sign",
+    "floor": "Floor", "ceil": "Ceil",
+    "add_any": "Add",
+}
+
+
+def build_onnx_from_module(module, variables, input_shape, n_classes: int,
+                           name: str = "custom",
+                           validate: bool = True) -> bytes:
+    """Trace `module.apply(variables, x, deterministic=True)` and lower the
+    jaxpr to an ONNX graph: input "features" [batch, *input_shape] ->
+    output "score" [batch, n_classes] (sigmoid probability).
+
+    Tries a dynamic-batch graph first and numerically validates it with the
+    bundled evaluator at two batch sizes; falls back to a fixed batch_size=1
+    graph if the module's shapes can't stay batch-symbolic.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def fn(x):
+        logits = module.apply(variables, x, deterministic=True)
+        return jax.nn.sigmoid(logits.reshape(logits.shape[0], -1))
+
+    def build(batch, dynamic):
+        closed = jax.make_jaxpr(fn)(
+            jax.ShapeDtypeStruct((batch,) + tuple(input_shape), jnp.float32))
+        g = _Builder()
+        tr = _Translator(g, dynamic_batch=dynamic)
+        jaxpr = closed.jaxpr
+        tr.write(jaxpr.invars[0], "features")
+        tr.run(jaxpr, closed.consts)
+        final = tr.read(jaxpr.outvars[0])
+        g.nodes.append(P.node("Identity", [final], ["score"],
+                              name="n_score"))
+        batch_dim = "batch_size" if dynamic else 1
+        graph = P.graph(
+            g.nodes, name=f"{name}_custom",
+            inputs=[P.value_info("features",
+                                 (batch_dim,) + tuple(input_shape))],
+            outputs=[P.value_info("score", (batch_dim, n_classes))],
+            initializers=g.inits,
+            doc="nanowakeword_tpu custom-module export (jaxpr lowering)")
+        return P.model(graph, opset=17,
+                       doc="exported by nanowakeword_tpu.export.jaxpr_onnx")
+
+    def check(data: bytes, batch: int) -> bool:
+        from nanowakeword_tpu.export import onnx_eval
+        x = np.random.default_rng(0).normal(
+            0, 1, (batch,) + tuple(input_shape)).astype(np.float32)
+        want = np.asarray(fn(jnp.asarray(x)))
+        try:
+            got = onnx_eval.run(data, {"features": x})["score"]
+        except Exception:  # noqa: BLE001 — any failure means "not valid"
+            return False
+        return (got.shape == want.shape
+                and np.allclose(got, want, rtol=1e-4, atol=1e-5))
+
+    try:
+        data = build(_SENTINEL_BATCH, dynamic=True)
+        if not validate or (check(data, 1) and check(data, 3)):
+            return data
+    except ExportUnsupported:
+        pass
+    # fallback: fixed batch 1 (graph constants may bake the batch size)
+    data = build(1, dynamic=False)
+    if validate and not check(data, 1):
+        raise ExportUnsupported(
+            "custom module export failed numeric validation")
+    return data

@@ -205,7 +205,9 @@ def run(model: Union[str, bytes, P.ParsedModel],
             shape = x[0].shape
             y = x[0].reshape(int(np.prod(shape[:axis] or (1,))), -1)
         elif op == "Reshape":
-            y = x[0].reshape([int(d) for d in x[1]])
+            # 0 = "copy the input dim at this index" (ONNX allowzero=0)
+            y = x[0].reshape([x[0].shape[i] if int(d) == 0 else int(d)
+                              for i, d in enumerate(x[1])])
         elif op == "Transpose":
             y = np.transpose(x[0], a["perm"])
         elif op == "LayerNormalization":
@@ -235,6 +237,72 @@ def run(model: Union[str, bytes, P.ParsedModel],
         elif op == "ReduceMean":
             axes = tuple(a["axes"])
             y = x[0].mean(axis=axes, keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ReduceSum":       # opset 13+: axes as second input
+            axes = tuple(int(v) for v in x[1]) if len(x) > 1 \
+                else tuple(a.get("axes", range(x[0].ndim)))
+            y = x[0].sum(axis=axes, keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ReduceMax":
+            y = x[0].max(axis=tuple(a["axes"]),
+                         keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ReduceMin":
+            y = x[0].min(axis=tuple(a["axes"]),
+                         keepdims=bool(a.get("keepdims", 1)))
+        elif op == "Einsum":
+            eq = a["equation"]
+            if isinstance(eq, bytes):
+                eq = eq.decode()
+            y = np.einsum(eq, *x, optimize=True)
+        elif op == "Expand":
+            y = x[0] * np.ones([int(d) for d in x[1]], x[0].dtype)
+        elif op == "Cast":
+            y = x[0]                  # evaluator computes in f32 throughout
+        elif op == "Pad":
+            pads = [int(v) for v in x[1]]
+            nd_ = x[0].ndim
+            value = float(x[2]) if len(x) > 2 else 0.0
+            width = [(pads[i], pads[nd_ + i]) for i in range(nd_)]
+            y = np.pad(x[0], width, constant_values=value)
+        elif op == "Exp":
+            y = np.exp(x[0])
+        elif op == "Log":
+            y = np.log(x[0])
+        elif op == "Erf":
+            from math import erf as _erf
+            y = np.vectorize(_erf, otypes=[np.float32])(x[0])
+        elif op == "Sqrt":
+            y = np.sqrt(x[0])
+        elif op == "Reciprocal":
+            y = 1.0 / x[0]
+        elif op == "Neg":
+            y = -x[0]
+        elif op == "Abs":
+            y = np.abs(x[0])
+        elif op == "Sign":
+            y = np.sign(x[0])
+        elif op == "Floor":
+            y = np.floor(x[0])
+        elif op == "Ceil":
+            y = np.ceil(x[0])
+        elif op == "Pow":
+            y = np.power(x[0], x[1])
+        elif op == "Max":
+            y = x[0]
+            for v in x[1:]:
+                y = np.maximum(y, v)
+        elif op == "Min":
+            y = x[0]
+            for v in x[1:]:
+                y = np.minimum(y, v)
+        elif op == "Greater":
+            y = (x[0] > x[1]).astype(np.float32)
+        elif op == "Less":
+            y = (x[0] < x[1]).astype(np.float32)
+        elif op == "GreaterOrEqual":
+            y = (x[0] >= x[1]).astype(np.float32)
+        elif op == "LessOrEqual":
+            y = (x[0] <= x[1]).astype(np.float32)
+        elif op == "Equal":
+            y = (x[0] == x[1]).astype(np.float32)
         elif op == "Slice":
             data, starts, ends = x[0], x[1], x[2]
             axes = x[3] if len(x) > 3 else np.arange(len(starts))

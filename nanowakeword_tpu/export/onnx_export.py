@@ -34,8 +34,8 @@ Graph contract (matches the reference's exported model, incl. its DYNAMIC
 batch axis, `_export/onnx.py:74-82`):
   input  "features" : float32 ["batch_size", T, 96]
   output "score"    : float32 ["batch_size", n_classes]  (sigmoid prob)
-Attention families fix batch_size=1 (their per-head lowering reshapes the
-time axis); everything else scores arbitrary batches in one run.
+EVERY family (attention included) scores arbitrary batches in one run;
+user `custom` modules export through the jaxpr lowering (jaxpr_onnx.py).
 
 Numerical notes: flax Dense kernels are [in, out] and feed Gemm with
 transB=0; flax Conv kernels are [kH, kW, in, out] (NHWC) and are transposed
@@ -60,9 +60,12 @@ SUPPORTED_TYPES = ("dnn", "cnn", "tcn", "quartznet", "bcresnet",
                    "transformer", "conformer", "e_branchformer",
                    "streaming_gru")
 # families whose graphs accept a dynamic batch axis (reference parity:
-# torch.onnx.export declares batch_size dynamic, _export/onnx.py:74-82)
+# torch.onnx.export declares batch_size dynamic, _export/onnx.py:74-82).
+# Attention families qualify since the per-head lowering keeps batch
+# symbolic (0-copy reshapes + batched MatMul, see _mhsa).
 DYNAMIC_BATCH_TYPES = ("dnn", "cnn", "tcn", "quartznet", "bcresnet",
-                       "lstm", "gru", "rnn", "crnn")
+                       "lstm", "gru", "rnn", "crnn",
+                       "transformer", "conformer", "e_branchformer")
 
 
 class _GraphBuilder:
@@ -577,9 +580,11 @@ def build_onnx_stateful(model, input_shape=None) -> bytes:
 # ---------------------------------------------------------------------------
 
 def _mhsa(g: _GraphBuilder, x: str, p: dict, t: int, hint: str) -> str:
-    """flax nn.MultiHeadDotProductAttention (self-attention) on [1, T, D]:
+    """flax nn.MultiHeadDotProductAttention (self-attention) on [B, T, D]:
     per-head q/k/v MatMuls, 1/sqrt(head_dim) query scaling, Softmax over
-    keys, context concat, output projection."""
+    keys, context concat, output projection. Batch stays SYMBOLIC: head
+    split/merge reshapes use ONNX's 0 ("copy input dim") at the batch axis
+    and MatMul batches over the leading [B, H] dims."""
     n_head, head_dim = p["query"]["bias"].shape
     d_model = p["query"]["kernel"].shape[0]
 
@@ -595,17 +600,17 @@ def _mhsa(g: _GraphBuilder, x: str, p: dict, t: int, hint: str) -> str:
     q = g.const_mul(q, 1.0 / np.sqrt(head_dim), f"{hint}_scale")
 
     def heads(tensor, hint2, *, kt=False):
-        r = g.reshape(tensor, [t, n_head, head_dim])
-        r = g.add("Transpose", [r], perm=[1, 0, 2])        # [H, T, hd]
+        r = g.reshape(tensor, [0, t, n_head, head_dim])    # [B, T, H, hd]
+        r = g.add("Transpose", [r], perm=[0, 2, 1, 3])     # [B, H, T, hd]
         if kt:
-            r = g.add("Transpose", [r], perm=[0, 2, 1])    # [H, hd, T]
+            r = g.add("Transpose", [r], perm=[0, 1, 3, 2])  # [B, H, hd, T]
         return r
 
     scores = g.add("MatMul", [heads(q, "q"), heads(k, "k", kt=True)])
-    probs = g.add("Softmax", [scores], axis=-1)            # [H, T, T]
-    ctx = g.add("MatMul", [probs, heads(v, "v")])          # [H, T, hd]
-    ctx = g.add("Transpose", [ctx], perm=[1, 0, 2])
-    ctx = g.reshape(ctx, [1, t, n_head * head_dim])
+    probs = g.add("Softmax", [scores], axis=-1)            # [B, H, T, T]
+    ctx = g.add("MatMul", [probs, heads(v, "v")])          # [B, H, T, hd]
+    ctx = g.add("Transpose", [ctx], perm=[0, 2, 1, 3])     # [B, T, H, hd]
+    ctx = g.reshape(ctx, [0, t, n_head * head_dim])
     out_k = np.asarray(p["out"]["kernel"],
                        np.float32).reshape(n_head * head_dim, d_model)
     return g.dense3d(ctx, out_k, np.asarray(p["out"]["bias"], np.float32),
@@ -744,11 +749,19 @@ def _ebranchformer_backbone(g: _GraphBuilder, x: str, params: dict,
 def build_onnx(model, input_shape=None) -> bytes:
     """A Model (models/model.py) -> serialized ONNX ModelProto bytes."""
     model_type = model.model_type
+    if model_type in ("custom", "custom_model"):
+        # user modules: lower the module's jaxpr (reference parity —
+        # torch.onnx.export accepts ANY nn.Module, _export/onnx.py:26-88)
+        from nanowakeword_tpu.export.jaxpr_onnx import build_onnx_from_module
+        return build_onnx_from_module(
+            model.module, model.variables,
+            tuple(input_shape or model.input_shape),
+            int(model.n_classes), name=model.model_name)
     if model_type not in SUPPORTED_TYPES:
         raise ValueError(
-            f"ONNX export supports {SUPPORTED_TYPES}; '{model_type}' models "
-            "deploy via the .nww artifact (custom user modules are served "
-            "by the jitted runtime).")
+            f"ONNX export supports {SUPPORTED_TYPES} plus 'custom' modules "
+            f"(jaxpr lowering); '{model_type}' models deploy via the .nww "
+            "artifact.")
     if model_type == "streaming_gru":
         return build_onnx_stateful(model, input_shape=input_shape)
     input_shape = tuple(input_shape or model.input_shape)

@@ -202,8 +202,10 @@ def make_jax_fn(model: Union[str, bytes, P.ParsedModel]):
                 y = jnp.asarray(x[0]).reshape(
                     int(np.prod(shape[:axis] or (1,))), -1)
             elif op == "Reshape":
+                # 0 = "copy the input dim at this index" (ONNX allowzero=0)
                 y = jnp.asarray(x[0]).reshape(
-                    [int(d) for d in _static(x[1], "Reshape shape")])
+                    [x[0].shape[i] if int(d) == 0 else int(d)
+                     for i, d in enumerate(_static(x[1], "Reshape shape"))])
             elif op == "Transpose":
                 y = jnp.transpose(jnp.asarray(x[0]), a["perm"])
             elif op == "LayerNormalization":
@@ -237,6 +239,82 @@ def make_jax_fn(model: Union[str, bytes, P.ParsedModel]):
                 y = jnp.asarray(x[0]).mean(
                     axis=tuple(a["axes"]),
                     keepdims=bool(a.get("keepdims", 1)))
+            elif op == "ReduceSum":   # opset 13+: axes as second input
+                axes = (tuple(int(v) for v in np.asarray(x[1]))
+                        if len(x) > 1
+                        else tuple(a.get("axes", range(x[0].ndim))))
+                y = jnp.asarray(x[0]).sum(
+                    axis=axes, keepdims=bool(a.get("keepdims", 1)))
+            elif op == "ReduceMax":
+                y = jnp.asarray(x[0]).max(
+                    axis=tuple(a["axes"]),
+                    keepdims=bool(a.get("keepdims", 1)))
+            elif op == "ReduceMin":
+                y = jnp.asarray(x[0]).min(
+                    axis=tuple(a["axes"]),
+                    keepdims=bool(a.get("keepdims", 1)))
+            elif op == "Einsum":
+                eq = a["equation"]
+                if isinstance(eq, bytes):
+                    eq = eq.decode()
+                y = jnp.einsum(eq, *[jnp.asarray(v) for v in x])
+            elif op == "Expand":
+                shape = [int(d) for d in _static(x[1], "Expand shape")]
+                y = jnp.asarray(x[0]) * jnp.ones(shape, jnp.float32)
+            elif op == "Cast":
+                y = jnp.asarray(x[0], jnp.float32)
+            elif op == "Pad":
+                pads = [int(v) for v in _static(x[1], "Pad pads")]
+                nd_ = x[0].ndim
+                value = float(np.asarray(x[2])) if len(x) > 2 else 0.0
+                width = [(pads[i], pads[nd_ + i]) for i in range(nd_)]
+                y = jnp.pad(jnp.asarray(x[0]), width,
+                            constant_values=value)
+            elif op == "Exp":
+                y = jnp.exp(jnp.asarray(x[0]))
+            elif op == "Log":
+                y = jnp.log(jnp.asarray(x[0]))
+            elif op == "Erf":
+                y = jax.lax.erf(jnp.asarray(x[0]))
+            elif op == "Sqrt":
+                y = jnp.sqrt(jnp.asarray(x[0]))
+            elif op == "Reciprocal":
+                y = 1.0 / jnp.asarray(x[0])
+            elif op == "Neg":
+                y = -jnp.asarray(x[0])
+            elif op == "Abs":
+                y = jnp.abs(jnp.asarray(x[0]))
+            elif op == "Sign":
+                y = jnp.sign(jnp.asarray(x[0]))
+            elif op == "Floor":
+                y = jnp.floor(jnp.asarray(x[0]))
+            elif op == "Ceil":
+                y = jnp.ceil(jnp.asarray(x[0]))
+            elif op == "Pow":
+                y = jnp.power(jnp.asarray(x[0]), jnp.asarray(x[1]))
+            elif op == "Max":
+                y = jnp.asarray(x[0])
+                for v in x[1:]:
+                    y = jnp.maximum(y, jnp.asarray(v))
+            elif op == "Min":
+                y = jnp.asarray(x[0])
+                for v in x[1:]:
+                    y = jnp.minimum(y, jnp.asarray(v))
+            elif op == "Greater":
+                y = (jnp.asarray(x[0]) > jnp.asarray(x[1])).astype(
+                    jnp.float32)
+            elif op == "Less":
+                y = (jnp.asarray(x[0]) < jnp.asarray(x[1])).astype(
+                    jnp.float32)
+            elif op == "GreaterOrEqual":
+                y = (jnp.asarray(x[0]) >= jnp.asarray(x[1])).astype(
+                    jnp.float32)
+            elif op == "LessOrEqual":
+                y = (jnp.asarray(x[0]) <= jnp.asarray(x[1])).astype(
+                    jnp.float32)
+            elif op == "Equal":
+                y = (jnp.asarray(x[0]) == jnp.asarray(x[1])).astype(
+                    jnp.float32)
             elif op == "Slice":
                 data = jnp.asarray(x[0])
                 starts = _static(x[1], "Slice starts")

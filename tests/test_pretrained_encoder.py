@@ -114,3 +114,37 @@ def test_e2e_model_warm_starts_from_asset():
         pretrained_encoder_variables()["params"])
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_pretrain_checkpoint_resume_bitwise(tmp_path):
+    """The pretraining recipe has durable checkpoints: a run killed mid-way
+    and resumed produces the SAME encoder as an uninterrupted run (the
+    corpus is cache-deterministic and sampling is driven by the saved key)."""
+    import jax
+
+    from nanowakeword_tpu.train.pretrain_encoder import (PretrainConfig,
+                                                         build_corpus,
+                                                         pretrain_encoder)
+
+    cfg = PretrainConfig(vocab_size=4, confusable_fraction=0.0,
+                         variants_per_word=2, heldout_variants=1,
+                         clip_samples=16000, noise_clips=6, rir_clips=2,
+                         batch_size=4, steps=8)
+    corpus = build_corpus(cfg, verbose=False)
+
+    enc_a, _ = pretrain_encoder(cfg, corpus=corpus, verbose=False)
+
+    ck = str(tmp_path / "ck")
+    # "interrupted" run: dies after 4 steps, leaving the step-2 checkpoint
+    half = cfg._replace(steps=4)
+    pretrain_encoder(half, corpus=corpus, verbose=False,
+                     checkpoint_dir=ck, checkpoint_every=2)
+    import os as _os
+    assert _os.path.exists(_os.path.join(ck, "pretrain_step_2.pkl"))
+    enc_b, _ = pretrain_encoder(cfg, corpus=corpus, verbose=False,
+                                checkpoint_dir=ck, resume=True)
+
+    for a, b in zip(jax.tree_util.tree_leaves(enc_a),
+                    jax.tree_util.tree_leaves(enc_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
