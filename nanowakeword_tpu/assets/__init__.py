@@ -17,14 +17,19 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 # v1: 256-word corpus, colored noise only.
 # v2: 512-word corpus + babble noise + synthetic-RIR reverb, evaluated on
 #     unseen words AND confusable minimal pairs (the harder transfer bar).
+# v3: trained on the UNION of the formant and resonator synthesis channels
+#     (--channels union), evaluated additionally on the never-trained
+#     telephone-EQ/reverb fx chain — cross-domain transfer, not just
+#     cross-speaker (VERDICT r2 #1).
 SPEECH_ENCODER_V1 = os.path.join(_DIR, "speech_encoder_v1.msgpack")
 SPEECH_ENCODER_V2 = os.path.join(_DIR, "speech_encoder_v2.msgpack")
-DEFAULT_SPEECH_ENCODER = SPEECH_ENCODER_V2
+SPEECH_ENCODER_V3 = os.path.join(_DIR, "speech_encoder_v3.msgpack")
+DEFAULT_SPEECH_ENCODER = SPEECH_ENCODER_V3
 
 
 def speech_encoder_asset_path():
     """Path to the newest bundled pretrained encoder, or None."""
-    for path in (SPEECH_ENCODER_V2, SPEECH_ENCODER_V1):
+    for path in (SPEECH_ENCODER_V3, SPEECH_ENCODER_V2, SPEECH_ENCODER_V1):
         if os.path.exists(path):
             return path
     return None

@@ -58,8 +58,11 @@ class VAD:
                     / band_spec.mean(axis=1))
         flat_penalty = 1.0 - np.clip((flatness - 0.5) * 1.5, 0.0, 0.5)
 
-        # adaptive noise floor: fast decay down, slow rise up
-        probs = np.empty(n_frames, np.float32)
+        # adaptive noise floor: fast decay down, slow rise up. The floor is
+        # a data-dependent recurrence (asymmetric attack/release EMA), so
+        # only IT runs as a scalar loop; the per-frame transcendentals
+        # (log10/sigmoid) are vectorized over the whole chunk.
+        floors = np.empty(n_frames, np.float32)
         floor = self._noise_floor
         for i in range(n_frames):
             e = energy[i]
@@ -69,14 +72,15 @@ class VAD:
                 floor = 0.6 * floor + 0.4 * e
             else:
                 floor = 0.995 * floor + 0.005 * e
-            snr_db = 10.0 * np.log10(e / max(floor, 1e-10))
-            # speech ≈ SNR >> 0 dB AND band-concentrated spectrum
-            snr_score = 1.0 / (1.0 + np.exp(-(snr_db - 6.0)
-                                            * 0.5 * self.sensitivity))
-            probs[i] = (snr_score * np.clip(band_ratio[i] * 1.6, 0.0, 1.0)
-                        * flat_penalty[i])
+            floors[i] = floor
         self._noise_floor = floor
-        return probs
+
+        snr_db = 10.0 * np.log10(energy / np.maximum(floors, 1e-10))
+        # speech ≈ SNR >> 0 dB AND band-concentrated spectrum
+        snr_score = 1.0 / (1.0 + np.exp(-(snr_db - 6.0)
+                                        * 0.5 * self.sensitivity))
+        return (snr_score * np.clip(band_ratio * 1.6, 0.0, 1.0)
+                * flat_penalty).astype(np.float32)
 
     def predict(self, x: np.ndarray) -> float:
         """Average speech probability of a chunk; appended per-chunk to the

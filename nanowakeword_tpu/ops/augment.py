@@ -37,6 +37,8 @@ DEFAULT_SETTINGS = {
     "max_snr_in_db": 30.0, "min_snr_in_db": 5.0,
     "min_gain_in_db": -3.0, "max_gain_in_db": 3.0,
     "min_volume_augmentation": 0.5, "max_volume_augmentation": 1.0,
+    "eq_prob": 0.0,   # random 3-tap channel EQ (off by default: reference
+                      # parity; the encoder-pretraining recipe enables it)
 }
 
 
@@ -191,6 +193,7 @@ class AugmentParams(NamedTuple):
     max_gain: float
     min_volume: float
     max_volume: float
+    eq_prob: float = 0.0
 
     @classmethod
     def from_settings(cls, settings=None) -> "AugmentParams":
@@ -209,14 +212,15 @@ class AugmentParams(NamedTuple):
             max_gain=float(cfg["max_gain_in_db"]),
             min_volume=float(cfg["min_volume_augmentation"]),
             max_volume=float(cfg["max_volume_augmentation"]),
+            eq_prob=float(cfg["eq_prob"]),
         )
 
 
 def _augment_one(key, fg, bg, rir, fg_len, has_bg, has_rir,
                  params: AugmentParams):
     """Single-clip augmentation chain (floats in [-1,1]); vmapped over B."""
-    k_off, k_snr, k_gain, k_pitch, k_rir, k_vol, k_p1, k_p2, k_p3 = \
-        jax.random.split(key, 9)
+    (k_off, k_snr, k_gain, k_pitch, k_rir, k_vol, k_p1, k_p2, k_p3,
+     k_eq, k_p4) = jax.random.split(key, 11)
     n = fg.shape[-1]
 
     max_offset = jnp.maximum(n - fg_len, 0)
@@ -249,6 +253,21 @@ def _augment_one(key, fg, bg, rir, fg_len, has_bg, has_rir,
         apply_rir = jnp.logical_and(
             jax.random.uniform(k_p3, ()) < params.rir_prob, has_rir)
         mixed = rir_convolve(mixed, rir, apply_rir)
+
+    # random channel EQ: a 3-tap FIR y[n] = x[n] + a1 x[n-1] + a2 x[n-2],
+    # energy-renormalised — randomises spectral tilt/ripple the way real
+    # mics and rooms do (domain randomisation for the encoder; NOT the
+    # eval-only telephone fx chain, which additionally band-limits,
+    # reverberates, and clips)
+    if params.eq_prob > 0:
+        a12 = jax.random.uniform(k_eq, (2,),
+                                 minval=jnp.asarray([-0.8, -0.4]),
+                                 maxval=jnp.asarray([0.8, 0.4]))
+        apply_eq = jax.random.uniform(k_p4, ()) < params.eq_prob
+        eq = (mixed + a12[0] * jnp.roll(mixed, 1).at[0].set(0.0)
+              + a12[1] * jnp.roll(mixed, 2).at[:2].set(0.0))
+        eq = eq / jnp.sqrt(1.0 + a12[0] ** 2 + a12[1] ** 2)
+        mixed = jnp.where(apply_eq, eq, mixed)
 
     # peak-normalised random volume (augment_clips.py:246-255)
     target = jax.random.uniform(k_vol, (), minval=params.min_volume,

@@ -55,6 +55,37 @@ value-fetch sync):
     layout sends Mosaic into a pathological lowering. The per-op
     overhead hypothesis was right (t=128 tiles run 6.95 ns/frame vs
     8.10 at t=100) but this encoding of "bigger ops" is wrong.
+  * FLOOR DECOMPOSITION (round 3, measured by stripping the kernel body
+    stage-by-stage at batch 4096 x 1 s; baseline that day 860 ns/clip —
+    the chip/relay ran ~8% slower than the round-2 1,275k session):
+      log10+max epilogue ......... 0 ns   (859 vs 860 — free, fused)
+      phase combine+Hann+power ... ~40 ns
+      mel filterbank dot ......... ~175 ns (narrow-N [.,128]@[128,32])
+      ONE input dot .............. ~0-7 ns over copy
+      COPY-ONLY kernel ........... 684 ns  <- 80% of the total: the
+        HBM->VMEM stream of [100,160]-row int16 tiles + the [100,32] f32
+        writeback, NOT compute. Pure-XLA equivalent data movement runs
+        316 ns/clip; the chip's practical elementwise bandwidth measured
+        250-400 GB/s (xla int16 mul 264 ns, bf16 cast 247 ns).
+    So v5 sits ~25% above the Pallas pipeline floor for this op shape and
+    the levers named in round 2 (log10, per-row dispatch, lane padding)
+    are each worth <5%. ~8.6 ns/frame is the honest floor of this design.
+  * v8 (tried, REJECTED): fold phases + the Hann tridiagonal into six
+    precomputed [160,128] bf16 bases (6 dots/row, combine shrinks to 2
+    masked adds). VPU ops/row drop ~50 -> ~20 yet measured EQUAL to v5
+    (1,166k vs 1,162k same-session) — consistent with the decomposition:
+    the combine was never the cost. Also loses bit-exactness (rounding
+    moves into the bases). Rejected.
+  * v9 (tried, REJECTED): pack 4 hops per 640-lane row ([t/4, 640] input,
+    zero-padded block-diagonal [640,512] cos/sin bases, combine as
+    128-lane BLOCK rolls, [t/4, 128] packed mel output — every pipeline
+    end lane-aligned). A copy-only probe of that layout runs 473 vs 684
+    ns (the alignment win is real) but the FULL packed kernel measured
+    911 ns vs v5's 869 same-session: the relayouted combine (512-lane
+    rolls + block-wrap fixups) costs more than the aligned stream saves
+    (v7 redux), and hardware accumulation over the zero-padded K=640 is
+    NOT bit-equal to K=160 (MXU pass blocking; max err 1.2e-3). Rejected
+    on both grounds.
 
 The phase combine's row shifts roll DOWN (frame t reads rows t-1, t-2):
 wrapped rows are replaced by the PREVIOUS tile's products, selected with an

@@ -374,7 +374,8 @@ def _pretrain_augment_params() -> AugmentParams:
         min_pitch=-1.5, max_pitch=1.5,
         min_snr=3.0, max_snr=25.0,
         min_gain=-6.0, max_gain=6.0,
-        min_volume=0.4, max_volume=1.0)
+        min_volume=0.4, max_volume=1.0,
+        eq_prob=0.5)   # random channel EQ: close the gap to unseen channels
 
 
 def _find_latest_pretrain_ckpt(ckpt_dir: str) -> Optional[str]:
@@ -775,13 +776,19 @@ def main(argv: Optional[List[str]] = None) -> None:
         config, cache_path=args.cache, verbose=False)["words"]]
     report.update(evaluate_transfer(enc_vars, train_words))
     report["encoder_arch"] = config.encoder_arch
+    report["channels"] = config.channels
+    channel_desc = {"formant": "formant-synthesized",
+                    "resonator": "resonator-synthesized",
+                    "union": "formant+resonator (union of two disjoint "
+                             "synthesis channels)"}[config.channels]
     report["recipe"] = (
-        f"word-classification proxy on {config.vocab_size} synthetic formant "
+        f"word-classification proxy on {config.vocab_size} {channel_desc} "
         f"pseudo-words ({config.confusable_fraction:.0%} confusable "
         f"minimal-pair twins) x {config.variants_per_word} speakers; SNR "
         "3-25dB colored+babble noise, synthetic-RIR reverb p=0.25, pitch "
-        f"+-1.5st, gain +-6dB; adamw warmup-cosine; {config.encoder_arch} "
-        "encoder")
+        "+-1.5st, gain +-6dB, random 3-tap channel EQ p=0.5; adamw "
+        f"warmup-cosine; {config.encoder_arch} encoder; the telephone-EQ/"
+        "reverb/clip fx chain is NEVER trained on (held-out eval domain)")
     save_encoder_asset(enc_vars, args.out, meta=report)
 
 
