@@ -66,7 +66,7 @@ def build_forward():
     return jax.jit(forward), bf16_vars, enc_vars
 
 
-def bench_throughput(batch: int = 4096, iters: int = 32) -> float:
+def bench_throughput(batch: int = 4096, iters: int = 256) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -79,6 +79,12 @@ def bench_throughput(batch: int = 4096, iters: int = 32) -> float:
     # Inputs live on device (a production input pipeline double-buffers
     # transfers); iterations are chained by a data dependency inside ONE
     # jitted fori_loop so async dispatch cannot hide work from the timer.
+    # iters=256 measures STEADY-STATE throughput: the one host sync per
+    # loop call costs a full tunnel round trip (~25 ms here), which at
+    # iters=32 silently added ~190 ns/clip (~20%) of non-compute time to
+    # every recorded number. 256 amortises it to ~6 ns/clip while keeping
+    # a timed call ~1 s. (Measured 2026-08-17: 788k @ 32, 900k @ 128,
+    # 920k @ 256 — identical compute, different sync amortisation.)
     audio = jax.device_put(audio_host)
     variables = jax.device_put(variables)
     enc_vars = jax.device_put(enc_vars)
@@ -396,8 +402,9 @@ def main():
         # end-to-end single-frame round trip (relay-RTT-bound when tunneled)
         result["p50_stream_frame_latency_ms"] = round(p50_ms, 3)
     result["note"] = ("p50 includes tunnel RTT; on_chip_frame_ms is device "
-                      "compute. Throughput varies a few % run-to-run "
-                      "through the relay.")
+                      "compute. Throughput is steady-state (256 chained "
+                      "iterations/sync; ~6 ns/clip residual sync cost) and "
+                      "varies a few % run-to-run through the relay.")
     print(json.dumps(result))
 
 
