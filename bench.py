@@ -198,8 +198,10 @@ def bench_on_chip_frame_latency(k_frames: int = 512, reps: int = 5) -> float:
     return best / k_frames * 1000.0
 
 
-def _fetch_timed(fn, *args, iters: int = 32, per_item: int = 1):
-    """Chained fori_loop timing with honest value-fetch synchronisation."""
+def _fetch_timed(fn, *args, iters: int = 256, per_item: int = 1):
+    """Chained fori_loop timing with honest value-fetch synchronisation.
+    iters=256 amortises the ~25 ms tunnel sync to noise (steady-state),
+    matching bench_throughput's methodology."""
     import jax
     import jax.numpy as jnp
 
@@ -317,13 +319,24 @@ def bench_all(batch: int = 2048):
 
     state = jax.device_put(state)
     targs = (enc_vars, audio1s, bg, rirs, fg_lens, flags, no_flags, labels)
-    state, loss = train_with_aug(state, *targs)
+    # steady-state: chain the steps inside ONE jitted loop (a host sync per
+    # step would charge a full ~25 ms tunnel RTT — ~30% of a 57 ms step —
+    # to the training number; a real training loop never syncs per step)
+    n_steps = 16
+
+    @jax.jit
+    def train_chain(st, *ta):
+        def body(_, carry):
+            st_, _loss = carry
+            return train_with_aug(st_, *ta)
+        return jax.lax.fori_loop(0, n_steps, body,
+                                 (st, jnp.float32(0.0)))
+
+    state2, loss = train_chain(state, *targs)
     float(loss)  # compile + warm
-    n_steps = 8
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss = train_with_aug(state, *targs)
-        float(loss)  # per-call sync; overhead ~1 RTT/step, noted
+    _, loss = train_chain(state2, *targs)
+    float(loss)  # one sync for the whole chain
     _emit("crnn_train_aug_clips_per_s",
           batch * n_steps / (time.perf_counter() - t0))
 

@@ -86,6 +86,16 @@ value-fetch sync):
     (v7 redux), and hardware accumulation over the zero-padded K=640 is
     NOT bit-equal to K=160 (MXU pass blocking; max err 1.2e-3). Rejected
     on both grounds.
+  * v10 (SHIPPED): flatten only the TAIL. The input dots stay per-row
+    (DMA-hidden), the combine stays per-row (VPU, ~40 ns), but power ->
+    filterbank dot -> log10 -> store runs ONCE per cell on the
+    concatenated [R*ft, 128] bf16 power block: one M=R*ft dot replaces R
+    narrow-N dots and R [.,32]-lane stores. Bit-equal (M-blocking doesn't
+    touch per-element accumulation order; hardware diff 0.0). Measured
+    batch 4096 x 1 s same-session: f32 out 680 -> 567 ns/clip, bf16 out
+    623 -> 518. This was the "per-row dispatch" lever round 2 named —
+    v6's mistake was flattening the INPUT dots (which were never the
+    cost) instead of the tail.
 
 The phase combine's row shifts roll DOWN (frame t reads rows t-1, t-2):
 wrapped rows are replaced by the PREVIOUS tile's products, selected with an
@@ -137,8 +147,7 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
             return jnp.where(mask, r, prev)
         return jnp.where(mask, r, 0.0)
 
-    def body(a, b, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref, r, first_tile,
-             masks):
+    def body(a, b, b0c_ref, b0s_ref, ph_ref, first_tile, masks):
         s_re = jnp.dot(a, b0c_ref[:], preferred_element_type=jnp.float32)
         s_im = jnp.dot(a, b0s_ref[:], preferred_element_type=jnp.float32)
         if with_prev:
@@ -185,11 +194,21 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
         w_im = 0.5 * f_im - 0.25 * (m1_im + back_im)
 
         power = w_re * w_re + w_im * w_im
-        mel = jnp.dot(power.astype(jnp.bfloat16), fb_ref[:],
-                      preferred_element_type=jnp.float32)
+        return power.astype(jnp.bfloat16)
+
+    def tail(powers, fb_ref, out_ref):
+        # v10: ONE cell-level filterbank dot + log10 + write instead of R
+        # per-row [ft,128]@[128,32] dots. M-dim blocking doesn't change
+        # per-element accumulation order, so this is bit-equal to the
+        # per-row tail — but the narrow-N dot and the [.,32] stores run
+        # once per cell instead of R times (measured: 680 -> 567 ns/clip
+        # f32, 623 -> 518 bf16, batch 4096 x 1 s, same session).
+        pw = jnp.concatenate(powers, axis=0)              # [R*ft, 128]
+        mel = jnp.dot(pw, fb_ref[:], preferred_element_type=jnp.float32)
+        mel = mel.reshape(len(powers), ft, melops.N_MELS)
         logmel = (jnp.log10(jnp.maximum(mel, 0.0) + melops.MEL_EPS)
                   + melops.LOG_OFFSET)
-        out_ref[r, :, :] = logmel.astype(out_ref.dtype)
+        out_ref[:] = logmel.astype(out_ref.dtype)
 
     def convert(block):
         # one cell-level elementwise convert (int16/f32 -> bf16 in VMEM)
@@ -204,16 +223,18 @@ def _make_kernel(rows_per_cell: int, ft: int, with_prev: bool):
             masks = make_masks()
             a = convert(a_ref[:])
             b = convert(b_ref[:])
-            for r in range(rows_per_cell):
-                body(a[r], b[r], b0c_ref, b0s_ref, ph_ref, fb_ref,
-                     out_ref, r, first, masks)
+            powers = [body(a[r], b[r], b0c_ref, b0s_ref, ph_ref,
+                           first, masks)
+                      for r in range(rows_per_cell)]
+            tail(powers, fb_ref, out_ref)
     else:
         def kernel(a_ref, b0c_ref, b0s_ref, ph_ref, fb_ref, out_ref):
             masks = make_masks()
             a = convert(a_ref[:])
-            for r in range(rows_per_cell):
-                body(a[r], None, b0c_ref, b0s_ref, ph_ref, fb_ref,
-                     out_ref, r, None, masks)
+            powers = [body(a[r], None, b0c_ref, b0s_ref, ph_ref,
+                           None, masks)
+                      for r in range(rows_per_cell)]
+            tail(powers, fb_ref, out_ref)
     return kernel
 
 
