@@ -207,12 +207,19 @@ class AudioFeatures:
             batch = np.asarray(x[i:i + batch_size], in_dtype)
             n = batch.shape[0]
             if sharding is not None:
-                # Bucket every sub-batch (tails included) to one fixed shape:
-                # batch_size rounded up to a device multiple. One compiled
-                # signature per geometry — a ragged final batch never
-                # retraces under serving load.
+                # Bucket each sub-batch to a fixed shape so a ragged final
+                # batch never retraces under serving load. Full sub-batches
+                # use one signature (batch_size rounded to a device
+                # multiple); small calls snap to the least power-of-two
+                # device multiple >= n instead of paying a full
+                # batch_size-row forward for a handful of clips — a bounded
+                # log2 family of signatures, not one per ragged size.
                 n_dev = len(jax.devices())
-                bucket = -(-batch_size // n_dev) * n_dev
+                full = -(-batch_size // n_dev) * n_dev
+                bucket = n_dev
+                while bucket < n:
+                    bucket *= 2
+                bucket = min(bucket, full)
                 pad = bucket - n
                 if pad:
                     batch = np.concatenate(

@@ -302,8 +302,7 @@ def resonator_synthesize(text: str, length_scale: float = 1.0,
             voice_env[pos:pos + n] = amp
         if fric is not None:
             fric_env[pos:pos + n] = amp if not voiced else amp * 0.5
-            if fric is not None:
-                fric_band[pos:pos + n] = fric
+            fric_band[pos:pos + n] = fric
         pos += n
 
     # coarticulation: smooth every track with a 25 ms moving average so

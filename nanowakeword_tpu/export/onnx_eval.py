@@ -267,8 +267,12 @@ def run(model: Union[str, bytes, P.ParsedModel],
         elif op == "Log":
             y = np.log(x[0])
         elif op == "Erf":
-            from math import erf as _erf
-            y = np.vectorize(_erf, otypes=[np.float32])(x[0])
+            try:
+                from scipy.special import erf as _erf
+                y = np.asarray(_erf(x[0]), np.float32)
+            except ImportError:
+                from math import erf as _serf
+                y = np.vectorize(_serf, otypes=[np.float32])(x[0])
         elif op == "Sqrt":
             y = np.sqrt(x[0])
         elif op == "Reciprocal":

@@ -219,8 +219,14 @@ class AugmentParams(NamedTuple):
 def _augment_one(key, fg, bg, rir, fg_len, has_bg, has_rir,
                  params: AugmentParams):
     """Single-clip augmentation chain (floats in [-1,1]); vmapped over B."""
-    (k_off, k_snr, k_gain, k_pitch, k_rir, k_vol, k_p1, k_p2, k_p3,
-     k_eq, k_p4) = jax.random.split(key, 11)
+    (k_off, k_snr, k_gain, k_pitch, k_rir, k_vol, k_p1, k_p2,
+     k_p3) = jax.random.split(key, 9)
+    # EQ keys come from fold_in, NOT from widening the split: threefry
+    # pairs counters across array halves, so split(key, 11) would re-pair
+    # every subkey and silently change all pre-EQ augmentation draws even
+    # with eq_prob=0. fold_in keeps the original nine bit-identical.
+    k_eq = jax.random.fold_in(key, 101)
+    k_p4 = jax.random.fold_in(key, 102)
     n = fg.shape[-1]
 
     max_offset = jnp.maximum(n - fg_len, 0)

@@ -696,9 +696,13 @@ def evaluate_transfer(enc_vars, train_words: Sequence[str],
     enforces on the shipped asset).
 
     With `cross_channel`, the same metrics are ALSO computed on the
-    resonator synthesis channel the encoder never trains on (VERDICT r2 #1:
-    transfer off the training synthesizer, breaking the train/eval
-    circularity), including the telephone-EQ/reverb variant."""
+    resonator synthesis channel and on the telephone-EQ/reverb/clip fx
+    chain. Which of those are held-out depends on the training config:
+    for the shipped union-trained asset the resonator numbers are
+    IN-domain (it trains on both channels) and only the `*_fx` numbers
+    measure never-trained-domain transfer (VERDICT r2 #1 — the fx chain
+    is excluded from training by construction). For a `--channels formant`
+    run the resonator numbers are cross-domain too."""
     transfer_words = sample_vocab(n_words, seed=424242, exclude=train_words)
     pairs = make_confusable_pairs(n_pairs, seed=515151, exclude=train_words)
     report = {

@@ -745,113 +745,119 @@ class Trainer:
         stop = False
         step_ndx = start_step
         rng_after_current = None   # sampler RNG state after drawing this batch
-        while step_ndx < max_steps and not stop:
-            f_dev, l_dev, labels, indices, rng_after_current = \
-                prefetcher.get()
-            if step_ndx % 100 == 0:
-                labels_cache[step_ndx] = labels.copy()
+        try:
+            while step_ndx < max_steps and not stop:
+                f_dev, l_dev, labels, indices, rng_after_current = \
+                    prefetcher.get()
+                if step_ndx % 100 == 0:
+                    labels_cache[step_ndx] = labels.copy()
 
-            if profile_dir and not profiling_active \
-                    and step_ndx == profile_start:
-                jax.profiler.start_trace(str(profile_dir))
-                profiling_active = True
-            if profiling_active and step_ndx == profile_start + profile_steps:
-                jax.profiler.stop_trace()
-                profiling_active = False
-                print_info(f"Device trace written to {profile_dir}")
+                if profile_dir and not profiling_active \
+                        and step_ndx == profile_start:
+                    jax.profiler.start_trace(str(profile_dir))
+                    profiling_active = True
+                if profiling_active and step_ndx == profile_start + profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling_active = False
+                    print_info(f"Device trace written to {profile_dir}")
 
-            self.state, metrics = self._step(self.state, f_dev, l_dev)
+                self.state, metrics = self._step(self.state, f_dev, l_dev)
+
+                if pending is not None:
+                    drain(pending)
+                elif pending_restored is not None:
+                    # replay the checkpoint's deferred hardness update at the
+                    # exact pipeline slot the continuous run applied it
+                    apply_hardness_update(*pending_restored)
+                    pending_restored = None
+                pending = (step_ndx, indices, metrics)
+                # (periodic hardness reset is folded into apply_hardness_update
+                # so it lands at a deterministic point in the sampling order)
+
+                # early stopping on train EMA (only without val data)
+                use_train_stop = X_val is None or len(X_val) == 0
+                if (patience > 0 and use_train_stop
+                        and step_ndx > stabilization_steps
+                        and steps_without_improvement >= patience):
+                    drain(pending)
+                    pending = None
+                    print_info(f"\nEarly stopping at step {step_ndx}: no stable-"
+                               f"loss improvement for {patience} steps.")
+                    break
+
+                # durable checkpoint (train_model.py:682-712). Saved state is
+                # pipeline-consistent: hardness BEFORE this step's update (what
+                # batch N+1 was sampled against), plus that update itself for
+                # in-order replay, plus the RNG snapshot taken right after batch
+                # N was drawn (the live sampler has already drawn ahead).
+                if (ckpt_enabled and step_ndx > 0
+                        and step_ndx % ckpt_interval == 0):
+                    hardness_before = dataset.sample_hardness.copy()
+                    pend_rec = None
+                    if pending is not None:
+                        drain(pending)
+                        pending = None
+                        pend_rec = last_update_record[0]
+                    self.save_checkpoint(
+                        checkpoint_dir, step_ndx, sampler,
+                        ema_loss=ema_loss,
+                        best_ema_loss_for_stopping=best_ema_for_stopping,
+                        steps_without_improvement=steps_without_improvement,
+                        val_steps_without_improvement=val_steps_without_improvement,
+                        dataset_hardness=hardness_before,
+                        pending_hardness_update=pend_rec,
+                        sampler_rng_state=(rng_after_current or {}).get("sampler"),
+                        dataset_rng_state=(rng_after_current or {}).get("dataset"))
+                    self._rotate_checkpoints(checkpoint_dir, ckpt_limit)
+
+                # validation (train_model.py:714-756)
+                if (X_val is not None and len(X_val) > 0
+                        and step_ndx > val_stb and step_ndx % val_interval == 0):
+                    if pending is not None:
+                        drain(pending)
+                        pending = None
+                    vm = self.validate(X_val)
+                    self.history["val_loss_steps"].append(step_ndx)
+                    self.history["val_loss"].append(vm["val_loss"])
+                    self.history["val_recall_steps"].append(step_ndx)
+                    self.history["val_recall"].append(vm["val_recall"])
+                    self.history["val_fpr"].append(vm["val_fpr"])
+                    if vm["error_score"] < self.best_error_score:
+                        self.best_error_score = vm["error_score"]
+                        self.best_model_on_error_score = self._host_params()
+                        val_steps_without_improvement = 0
+                        if debug_mode:
+                            logger.info(
+                                f"[VAL {step_ndx:5d}] New best! "
+                                f"err={vm['error_score']:.1f} "
+                                f"FA={vm['total_false_alarms']} "
+                                f"Miss={vm['total_misses']} "
+                                f"thresh={vm['best_threshold']:.2f}")
+                    else:
+                        val_steps_without_improvement += val_interval
+                    if (val_patience > 0 and step_ndx > stabilization_steps
+                            and val_steps_without_improvement >= val_patience):
+                        print_info(f"\nValidation early stopping at step "
+                                   f"{step_ndx}: no val-error improvement for "
+                                   f"{val_patience} steps.")
+                        break
+
+                step_ndx += 1
 
             if pending is not None:
                 drain(pending)
-            elif pending_restored is not None:
-                # replay the checkpoint's deferred hardness update at the
-                # exact pipeline slot the continuous run applied it
-                apply_hardness_update(*pending_restored)
-                pending_restored = None
-            pending = (step_ndx, indices, metrics)
-            # (periodic hardness reset is folded into apply_hardness_update
-            # so it lands at a deterministic point in the sampling order)
-
-            # early stopping on train EMA (only without val data)
-            use_train_stop = X_val is None or len(X_val) == 0
-            if (patience > 0 and use_train_stop
-                    and step_ndx > stabilization_steps
-                    and steps_without_improvement >= patience):
-                drain(pending)
-                pending = None
-                print_info(f"\nEarly stopping at step {step_ndx}: no stable-"
-                           f"loss improvement for {patience} steps.")
-                break
-
-            # durable checkpoint (train_model.py:682-712). Saved state is
-            # pipeline-consistent: hardness BEFORE this step's update (what
-            # batch N+1 was sampled against), plus that update itself for
-            # in-order replay, plus the RNG snapshot taken right after batch
-            # N was drawn (the live sampler has already drawn ahead).
-            if (ckpt_enabled and step_ndx > 0
-                    and step_ndx % ckpt_interval == 0):
-                hardness_before = dataset.sample_hardness.copy()
-                pend_rec = None
-                if pending is not None:
-                    drain(pending)
-                    pending = None
-                    pend_rec = last_update_record[0]
-                self.save_checkpoint(
-                    checkpoint_dir, step_ndx, sampler,
-                    ema_loss=ema_loss,
-                    best_ema_loss_for_stopping=best_ema_for_stopping,
-                    steps_without_improvement=steps_without_improvement,
-                    val_steps_without_improvement=val_steps_without_improvement,
-                    dataset_hardness=hardness_before,
-                    pending_hardness_update=pend_rec,
-                    sampler_rng_state=(rng_after_current or {}).get("sampler"),
-                    dataset_rng_state=(rng_after_current or {}).get("dataset"))
-                self._rotate_checkpoints(checkpoint_dir, ckpt_limit)
-
-            # validation (train_model.py:714-756)
-            if (X_val is not None and len(X_val) > 0
-                    and step_ndx > val_stb and step_ndx % val_interval == 0):
-                if pending is not None:
-                    drain(pending)
-                    pending = None
-                vm = self.validate(X_val)
-                self.history["val_loss_steps"].append(step_ndx)
-                self.history["val_loss"].append(vm["val_loss"])
-                self.history["val_recall_steps"].append(step_ndx)
-                self.history["val_recall"].append(vm["val_recall"])
-                self.history["val_fpr"].append(vm["val_fpr"])
-                if vm["error_score"] < self.best_error_score:
-                    self.best_error_score = vm["error_score"]
-                    self.best_model_on_error_score = self._host_params()
-                    val_steps_without_improvement = 0
-                    if debug_mode:
-                        logger.info(
-                            f"[VAL {step_ndx:5d}] New best! "
-                            f"err={vm['error_score']:.1f} "
-                            f"FA={vm['total_false_alarms']} "
-                            f"Miss={vm['total_misses']} "
-                            f"thresh={vm['best_threshold']:.2f}")
-                else:
-                    val_steps_without_improvement += val_interval
-                if (val_patience > 0 and step_ndx > stabilization_steps
-                        and val_steps_without_improvement >= val_patience):
-                    print_info(f"\nValidation early stopping at step "
-                               f"{step_ndx}: no val-error improvement for "
-                               f"{val_patience} steps.")
-                    break
-
-            step_ndx += 1
-
-        if pending is not None:
-            drain(pending)
-        with pipe:   # release a producer blocked on the pipeline gates
-            stop_pipe[0] = True
-            pipe.notify_all()
-        prefetcher.close()
-        if profiling_active:
-            jax.profiler.stop_trace()
-            print_info(f"Device trace written to {profile_dir}")
+        finally:
+            # ALWAYS release the producer thread and close the
+            # prefetcher — an exception mid-loop (device OOM, a
+            # validation error) must not leave the daemon producer
+            # spin-waiting on the pipeline gate forever
+            with pipe:
+                stop_pipe[0] = True
+                pipe.notify_all()
+            prefetcher.close()
+            if profiling_active:
+                jax.profiler.stop_trace()
+                print_info(f"Device trace written to {profile_dir}")
         return step_ndx
 
     # -- auto_train (train_model.py:240-343) ----------------------------------------
