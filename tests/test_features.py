@@ -61,6 +61,15 @@ class TestBatch:
         # padding rows never leak into results
         full = af.embed_clips(x[:8], batch_size=8)
         np.testing.assert_allclose(out[:8], full, rtol=1e-5, atol=1e-5)
+        # small one-off calls snap to the least power-of-two device
+        # multiple >= n (NOT the full batch_size bucket): different tiny
+        # sizes share that one small signature
+        cache_now = af._jit_embed._cache_size()
+        tiny2 = af.embed_clips(x[:2], batch_size=64)
+        tiny5 = af.embed_clips(x[:5], batch_size=64)
+        assert af._jit_embed._cache_size() <= cache_now + 1
+        np.testing.assert_allclose(tiny2, full[:2], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(tiny5, full[:5], rtol=1e-5, atol=1e-5)
 
     def test_int16_input_matches_float32(self, af):
         """int16 PCM (the product's native decode dtype) flows through

@@ -95,6 +95,44 @@ class TestTraining:
                         jax.tree_util.tree_leaves(trainer2.state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_exception_mid_loop_releases_prefetcher(self, data, tmp_path,
+                                                    monkeypatch):
+        """A step exception must propagate AND release the pipeline: the
+        producer thread exits instead of spin-waiting on the pipe gate
+        forever (train_model's finally block)."""
+        from nanowakeword_tpu.utils import prefetch as prefetch_mod
+
+        created = []
+        orig_init = prefetch_mod.Prefetcher.__init__
+
+        def spy_init(self, *a, **k):
+            orig_init(self, *a, **k)
+            created.append(self)
+
+        monkeypatch.setattr(prefetch_mod.Prefetcher, "__init__", spy_init)
+
+        dataset, sampler, _ = data
+        trainer = Trainer(_model(), dict(CFG))
+        real_step = trainer._step
+        calls = [0]
+
+        def exploding_step(state, f, l):
+            calls[0] += 1
+            if calls[0] >= 4:
+                raise RuntimeError("boom mid-loop")
+            return real_step(state, f, l)
+
+        trainer._step = exploding_step
+        with pytest.raises(RuntimeError, match="boom mid-loop"):
+            trainer.train_model(X=(dataset, sampler), X_val=None,
+                                max_steps=30, log_path=str(tmp_path))
+
+        assert created, "train_model never built a Prefetcher"
+        producer = created[-1]._thread
+        producer.join(timeout=10)
+        assert not producer.is_alive(), (
+            "producer thread still spinning after a mid-loop exception")
+
     def test_find_latest_checkpoint(self, tmp_path):
         d = tmp_path / "cks"
         d.mkdir()
