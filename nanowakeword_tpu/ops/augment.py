@@ -39,6 +39,8 @@ DEFAULT_SETTINGS = {
     "min_volume_augmentation": 0.5, "max_volume_augmentation": 1.0,
     "eq_prob": 0.0,   # random 3-tap channel EQ (off by default: reference
                       # parity; the encoder-pretraining recipe enables it)
+    "companding_prob": 0.0,   # mu-law 8-bit codec round-trip
+    "bandlimit_prob": 0.0,    # random windowed-sinc lowpass
 }
 
 
@@ -194,6 +196,8 @@ class AugmentParams(NamedTuple):
     min_volume: float
     max_volume: float
     eq_prob: float = 0.0
+    companding_prob: float = 0.0
+    bandlimit_prob: float = 0.0
 
     @classmethod
     def from_settings(cls, settings=None) -> "AugmentParams":
@@ -213,6 +217,8 @@ class AugmentParams(NamedTuple):
             min_volume=float(cfg["min_volume_augmentation"]),
             max_volume=float(cfg["max_volume_augmentation"]),
             eq_prob=float(cfg["eq_prob"]),
+            companding_prob=float(cfg["companding_prob"]),
+            bandlimit_prob=float(cfg["bandlimit_prob"]),
         )
 
 
@@ -275,13 +281,45 @@ def _augment_one(key, fg, bg, rir, fg_len, has_bg, has_rir,
         eq = eq / jnp.sqrt(1.0 + a12[0] ** 2 + a12[1] ** 2)
         mixed = jnp.where(apply_eq, eq, mixed)
 
+    # random band-limit: windowed-sinc lowpass with a random cutoff —
+    # randomises the channel's bandwidth (cheap mics, codecs, downsampled
+    # sources) with a LINEAR filter family distinct from the eval-only fx
+    # chain's fixed Butterworth telephone band
+    if params.bandlimit_prob > 0:
+        k_bl = jax.random.fold_in(key, 103)
+        k_p5 = jax.random.fold_in(key, 104)
+        fc = jax.random.uniform(k_bl, (), minval=2000.0, maxval=7000.0)
+        half = 7
+        t = jnp.arange(-half, half + 1, dtype=jnp.float32)
+        h = jnp.sinc(2.0 * fc / 16000.0 * t) \
+            * jnp.hamming(2 * half + 1).astype(jnp.float32)
+        h = h / jnp.sum(h)                       # unity DC gain
+        low = jnp.convolve(mixed, h, mode="same")
+        apply_bl = jax.random.uniform(k_p5, ()) < params.bandlimit_prob
+        mixed = jnp.where(apply_bl, low, mixed)
+
     # peak-normalised random volume (augment_clips.py:246-255)
     target = jax.random.uniform(k_vol, (), minval=params.min_volume,
                                 maxval=params.max_volume)
     peak = jnp.max(jnp.abs(mixed))
     peak = jnp.where(peak < 1e-8, 1.0, peak)
     out = mixed * (target / peak)
-    return jnp.clip(out, -1.0, 1.0)
+    out = jnp.clip(out, -1.0, 1.0)
+
+    # mu-law 8-bit codec round-trip: companding + quantisation noise that
+    # tracks signal level, the way narrowband telephony/VoIP codecs do.
+    # A NONLINEARITY family distinct from the eval fx chain's tanh soft
+    # clip — applied at the normalised output level so the quantisation
+    # step is meaningful relative to the signal.
+    if params.companding_prob > 0:
+        k_p6 = jax.random.fold_in(key, 105)
+        mu = 255.0
+        comp = jnp.sign(out) * jnp.log1p(mu * jnp.abs(out)) / jnp.log1p(mu)
+        comp = jnp.round(comp * 127.0) / 127.0   # 8-bit code levels
+        dec = jnp.sign(comp) * ((1.0 + mu) ** jnp.abs(comp) - 1.0) / mu
+        apply_cmp = jax.random.uniform(k_p6, ()) < params.companding_prob
+        out = jnp.where(apply_cmp, dec, out)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

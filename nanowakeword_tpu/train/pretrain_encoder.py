@@ -79,6 +79,8 @@ class PretrainConfig(NamedTuple):
     channels: str = "union"        # synthesis domain(s) of the corpus:
                                    # "formant" | "resonator" | "union"
                                    # (the *_fx chain stays eval-only)
+    companding_prob: float = 0.0   # mu-law codec round-trip augmentation
+    bandlimit_prob: float = 0.0    # random lowpass-cutoff augmentation
 
 
 def sample_vocab(n_words: int, seed: int = 10,
@@ -368,14 +370,20 @@ def extract_encoder_variables(pretrain_variables) -> dict:
     return out
 
 
-def _pretrain_augment_params() -> AugmentParams:
+def _pretrain_augment_params(
+        config: PretrainConfig = PretrainConfig()) -> AugmentParams:
     return AugmentParams(
         rir_prob=0.25, gain_prob=0.5, pitch_prob=0.3,
         min_pitch=-1.5, max_pitch=1.5,
         min_snr=3.0, max_snr=25.0,
         min_gain=-6.0, max_gain=6.0,
         min_volume=0.4, max_volume=1.0,
-        eq_prob=0.5)   # random channel EQ: close the gap to unseen channels
+        eq_prob=0.5,   # random channel EQ: close the gap to unseen channels
+        # channel-robustness pair (off by default): mu-law codec round-trip
+        # + random lowpass band-limit — linear+nonlinear distortion families
+        # DISTINCT from the eval-only telephone-fx chain
+        companding_prob=config.companding_prob,
+        bandlimit_prob=config.bandlimit_prob)
 
 
 def _find_latest_pretrain_ckpt(ckpt_dir: str) -> Optional[str]:
@@ -437,7 +445,7 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(schedule, weight_decay=config.weight_decay))
     opt_state = tx.init(params)
-    aug_params = _pretrain_augment_params()
+    aug_params = _pretrain_augment_params(config)
     if not use_rir:
         aug_params = aug_params._replace(rir_prob=0.0)
 
@@ -759,6 +767,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--channels", default=PretrainConfig().channels,
                    choices=["formant", "resonator", "union"],
                    help="synthesis channel(s) for the training corpus")
+    p.add_argument("--channel-robust", type=float, default=0.0,
+                   metavar="P", help="probability for the mu-law codec and "
+                   "random-bandlimit augmentations (0 disables)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="durable checkpoint dir (enables crash-safety)")
     p.add_argument("--checkpoint-every", type=int, default=1000)
@@ -770,7 +781,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     config = PretrainConfig(vocab_size=args.vocab,
                             variants_per_word=args.variants,
                             batch_size=args.batch, steps=args.steps,
-                            encoder_arch=args.arch, channels=args.channels)
+                            encoder_arch=args.arch, channels=args.channels,
+                            companding_prob=args.channel_robust,
+                            bandlimit_prob=args.channel_robust)
     enc_vars, report = pretrain_encoder(
         config, cache_path=args.cache,
         checkpoint_dir=args.checkpoint_dir,
@@ -785,12 +798,16 @@ def main(argv: Optional[List[str]] = None) -> None:
                     "resonator": "resonator-synthesized",
                     "union": "formant+resonator (union of two disjoint "
                              "synthesis channels)"}[config.channels]
+    robust = ""
+    if config.companding_prob > 0 or config.bandlimit_prob > 0:
+        robust = (f", mu-law codec round-trip p={config.companding_prob}, "
+                  f"random-cutoff lowpass p={config.bandlimit_prob}")
     report["recipe"] = (
         f"word-classification proxy on {config.vocab_size} {channel_desc} "
         f"pseudo-words ({config.confusable_fraction:.0%} confusable "
         f"minimal-pair twins) x {config.variants_per_word} speakers; SNR "
         "3-25dB colored+babble noise, synthetic-RIR reverb p=0.25, pitch "
-        "+-1.5st, gain +-6dB, random 3-tap channel EQ p=0.5; adamw "
+        f"+-1.5st, gain +-6dB, random 3-tap channel EQ p=0.5{robust}; adamw "
         f"warmup-cosine; {config.encoder_arch} encoder; the telephone-EQ/"
         "reverb/clip fx chain is NEVER trained on (held-out eval domain)")
     save_encoder_asset(enc_vars, args.out, meta=report)

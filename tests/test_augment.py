@@ -164,6 +164,56 @@ class TestBatch:
         assert ((peaks >= 0.45) & (peaks <= 1.0)).all()
 
 
+class TestChannelRobustness:
+    """mu-law codec round-trip + random band-limit (encoder-pretraining
+    channel-robustness pair; both off by default)."""
+
+    def _run(self, fg, **settings):
+        base = {"pitch_prob": 0.0, "rir_prob": 0.0, "gain_prob": 0.0,
+                "min_volume_augmentation": 0.8,
+                "max_volume_augmentation": 0.8}
+        base.update(settings)
+        params = A.AugmentParams.from_settings(base)
+        B = fg.shape[0]
+        return np.asarray(A.augment_batch(
+            jax.random.PRNGKey(5), fg, np.zeros_like(fg),
+            np.zeros((B, 100), np.float32),
+            np.full(B, fg.shape[1], np.int32),
+            np.ones(B, bool), np.zeros(B, bool), params)) / 32767.0
+
+    def test_bandlimit_attenuates_high_frequencies(self):
+        t = np.arange(8000) / 16000.0
+        hi = (0.5 * np.sin(2 * np.pi * 7600.0 * t))[None].astype(np.float32)
+        clean = self._run(hi.copy())
+        limited = self._run(hi.copy(), bandlimit_prob=1.0)
+        spec_c = np.abs(np.fft.rfft(clean[0]))
+        spec_l = np.abs(np.fft.rfft(limited[0]))
+        band = slice(int(7600 / 16000 * 8000) - 50,
+                     int(7600 / 16000 * 8000) + 50)
+        # the 7.6 kHz tone sits above every random cutoff (2-7 kHz)
+        assert spec_l[band].max() < 0.5 * spec_c[band].max()
+
+    def test_companding_quantises_but_preserves_signal(self):
+        rng = np.random.default_rng(11)
+        fg = rng.normal(0, 0.2, (4, 4000)).astype(np.float32)
+        clean = self._run(fg.copy())
+        coded = self._run(fg.copy(), companding_prob=1.0)
+        err = coded - clean
+        assert np.abs(err).max() > 0            # the codec did something
+        snr_db = 10 * np.log10(np.mean(clean ** 2) / np.mean(err ** 2))
+        assert snr_db > 20.0                    # ...but only codec noise
+
+    def test_disabled_probs_do_not_change_draws(self):
+        """probs=0 must be bit-identical to a build without the features
+        (static gates + fold_in keys: no retrace of the existing chain)."""
+        rng = np.random.default_rng(12)
+        fg = rng.integers(-12000, 12000, (4, 4000)).astype(np.float32)
+        base = self._run(fg.copy())
+        explicit = self._run(fg.copy(), companding_prob=0.0,
+                             bandlimit_prob=0.0)
+        np.testing.assert_array_equal(base, explicit)
+
+
 class TestSettingsOverride:
     def test_from_settings(self):
         p = A.AugmentParams.from_settings({"min_snr_in_db": 15.0,
