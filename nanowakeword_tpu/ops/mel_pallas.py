@@ -97,6 +97,20 @@ value-fetch sync):
     v6's mistake was flattening the INPUT dots (which were never the
     cost) instead of the tail.
 
+  * ENCODER-CONV1 FUSION (analyzed, NOT attempted — round 3): folding the
+    wide128 encoder's first conv (10x32 -> 128, stride 2) into the kernel
+    epilogue is blocked by the same Mosaic data-movement wall as v7/v9.
+    The in-kernel mel block keeps time on SUBLANES; conv1 patches need
+    sublane->lane folding ([t/2, 320] rows) or stride-2 row compaction,
+    and the only expressible encodings are a block-diagonal selection dot
+    (~25-90 ns/clip of pure overhead) or computing all t positions and
+    writing [t, 128] back — 24.8 KB/clip, MORE boundary traffic than the
+    unfused 6.2 KB mel writeback + conv round trip. Traffic-negative
+    before any overcompute; see tools/profile_headline.py for the full
+    arithmetic and the measured stage decomposition (conv1 = 142 ns of
+    the 162 ns encoder; the CRNN tail, not the encoder, is the largest
+    non-mel cost at 293 ns).
+
 The phase combine's row shifts roll DOWN (frame t reads rows t-1, t-2):
 wrapped rows are replaced by the PREVIOUS tile's products, selected with an
 iota mask, and zeroed on the first tile (single-tile shapes — 1-2 s clips —
