@@ -81,6 +81,11 @@ class PretrainConfig(NamedTuple):
                                    # (the *_fx chain stays eval-only)
     companding_prob: float = 0.0   # mu-law codec round-trip augmentation
     bandlimit_prob: float = 0.0    # random lowpass-cutoff augmentation
+    contrastive_weight: float = 0.0  # supervised-contrastive auxiliary loss
+                                     # on the mean-pooled embedding (0 = off)
+    contrastive_temp: float = 0.15   # SupCon temperature
+    contrastive_group: int = 4       # variants per word in each batch when
+                                     # the contrastive loss is on
 
 
 def sample_vocab(n_words: int, seed: int = 10,
@@ -352,13 +357,44 @@ class EncoderPretrainModule(nn.Module):
     encoder_arch: str = "conv4"
 
     @nn.compact
-    def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, audio: jnp.ndarray,
+                 return_embedding: bool = False):
         from nanowakeword_tpu.data.features import EMB_OFFSET
         mel = melops.mel_frontend(audio, compute_dtype=jnp.bfloat16)
         emb = build_encoder(self.encoder_arch,
                             name="encoder")(mel[:, EMB_OFFSET:])
         pooled = jnp.concatenate([emb.mean(axis=1), emb.max(axis=1)], axis=-1)
-        return nn.Dense(self.vocab_size, name="word_head")(pooled)
+        logits = nn.Dense(self.vocab_size, name="word_head")(pooled)
+        if return_embedding:
+            # the mean-pooled 96-d vector — the SAME space the downstream
+            # centroid/cosine transfer metrics (and enrolment) operate in
+            return logits, emb.mean(axis=1)
+        return logits
+
+
+def supcon_loss(z: jnp.ndarray, labels: jnp.ndarray,
+                temperature: float = 0.15) -> jnp.ndarray:
+    """Supervised-contrastive loss (Khosla et al. 2020) over embeddings.
+
+    Pulls same-word embeddings together and pushes different words apart in
+    cosine space — the exact geometry the downstream transfer metrics
+    (nearest-centroid, minimal-pair discrimination) measure. With a batch
+    sampled as P words x K variants, positives pair the SAME word across
+    different speakers, augmentations, and synthesis CHANNELS, so the term
+    explicitly optimizes channel invariance that the word-classifier CE can
+    leave to the head.
+    """
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-6)
+    sim = (z @ z.T) / temperature
+    n = z.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    pos = (labels[:, None] == labels[None, :]) & ~eye
+    sim = jnp.where(eye, -1e9, sim)            # anchors never pair with self
+    log_prob = sim - jax.nn.logsumexp(sim, axis=1, keepdims=True)
+    per_anchor = -(jnp.where(pos, log_prob, 0.0).sum(axis=1)
+                   / jnp.maximum(pos.sum(axis=1), 1))
+    # anchors with no positive in the batch contribute 0
+    return per_anchor.mean()
 
 
 def extract_encoder_variables(pretrain_variables) -> dict:
@@ -432,6 +468,9 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
     use_rir = "rirs" in corpus and corpus["rirs"].shape[-1] > 1
     n_clips, clip_len = clips.shape
     vocab = int(labels.max()) + 1
+    if config.contrastive_weight > 0.0 \
+            and config.batch_size % config.contrastive_group:
+        raise ValueError("batch_size must be divisible by contrastive_group")
 
     module = EncoderPretrainModule(vocab_size=vocab,
                                    encoder_arch=config.encoder_arch)
@@ -452,10 +491,25 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
     # corpus arrays are passed as jit ARGS, never closed over: closure-
     # captured device arrays become graph constants and the whole 350 MB
     # corpus would be shipped inside the compile request
+    use_supcon = config.contrastive_weight > 0.0
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key, clips, labels, noise, rirs):
         k_idx, k_noise, k_rir, k_aug = jax.random.split(key, 4)
-        idx = jax.random.randint(k_idx, (config.batch_size,), 0, n_clips)
+        if use_supcon:
+            # P words x K variants so every anchor has in-batch positives
+            # (same word, different speaker/augmentation/channel)
+            k_w, k_v = jax.random.split(k_idx)
+            n_group = config.contrastive_group
+            n_words_b = config.batch_size // n_group
+            w_ids = jax.random.randint(k_w, (n_words_b,), 0,
+                                       n_clips // config.variants_per_word)
+            v_ids = jax.random.randint(k_v, (n_words_b, n_group), 0,
+                                       config.variants_per_word)
+            idx = (w_ids[:, None] * config.variants_per_word
+                   + v_ids).reshape(-1)
+        else:
+            idx = jax.random.randint(k_idx, (config.batch_size,), 0, n_clips)
         nidx = jax.random.randint(k_noise, (config.batch_size,), 0,
                                   noise.shape[0])
         ridx = jax.random.randint(k_rir, (config.batch_size,), 0,
@@ -471,9 +525,17 @@ def pretrain_encoder(config: PretrainConfig = PretrainConfig(),
                               aug_params).astype(jnp.float32)
 
         def loss_fn(p):
-            logits = module.apply({"params": p}, audio)
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, y).mean()
+            if use_supcon:
+                logits, z = module.apply({"params": p}, audio,
+                                         return_embedding=True)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean()
+                loss = ce + config.contrastive_weight * supcon_loss(
+                    z, y, config.contrastive_temp)
+            else:
+                logits = module.apply({"params": p}, audio)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean()
             acc = (logits.argmax(-1) == y).mean()
             return loss, acc
 
@@ -770,6 +832,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--channel-robust", type=float, default=0.0,
                    metavar="P", help="probability for the mu-law codec and "
                    "random-bandlimit augmentations (0 disables)")
+    p.add_argument("--contrastive", type=float, default=0.0, metavar="W",
+                   help="weight of the supervised-contrastive auxiliary "
+                        "loss on the pooled embedding (0 disables; batches "
+                        "then sample P words x 4 variants)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="durable checkpoint dir (enables crash-safety)")
     p.add_argument("--checkpoint-every", type=int, default=1000)
@@ -783,7 +849,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                             batch_size=args.batch, steps=args.steps,
                             encoder_arch=args.arch, channels=args.channels,
                             companding_prob=args.channel_robust,
-                            bandlimit_prob=args.channel_robust)
+                            bandlimit_prob=args.channel_robust,
+                            contrastive_weight=args.contrastive)
     enc_vars, report = pretrain_encoder(
         config, cache_path=args.cache,
         checkpoint_dir=args.checkpoint_dir,
@@ -802,6 +869,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     if config.companding_prob > 0 or config.bandlimit_prob > 0:
         robust = (f", mu-law codec round-trip p={config.companding_prob}, "
                   f"random-cutoff lowpass p={config.bandlimit_prob}")
+    if config.contrastive_weight > 0:
+        robust += (f", supervised-contrastive aux loss w="
+                   f"{config.contrastive_weight} T={config.contrastive_temp}"
+                   f" (P x {config.contrastive_group}-variant batches)")
     report["recipe"] = (
         f"word-classification proxy on {config.vocab_size} {channel_desc} "
         f"pseudo-words ({config.confusable_fraction:.0%} confusable "

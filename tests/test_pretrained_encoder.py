@@ -185,3 +185,57 @@ def test_pretrain_checkpoint_resume_bitwise(tmp_path):
                     jax.tree_util.tree_leaves(enc_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_supcon_loss_geometry():
+    """SupCon is low when same-label embeddings cluster, high when labels
+    cut across clusters, and exactly 0-gradient-safe with lone anchors."""
+    import jax
+    import jax.numpy as jnp
+
+    from nanowakeword_tpu.train.pretrain_encoder import supcon_loss
+
+    k = jax.random.PRNGKey(0)
+    a = jnp.ones((4, 8)) + 0.01 * jax.random.normal(k, (4, 8))
+    b = -jnp.ones((4, 8)) + 0.01 * jax.random.normal(k, (4, 8))
+    z = jnp.concatenate([a, b])
+    clustered = float(supcon_loss(z, jnp.asarray([0] * 4 + [1] * 4)))
+    anti = float(supcon_loss(z, jnp.asarray([0, 1] * 4)))
+    assert clustered < anti
+    # all-distinct labels: no positives anywhere -> loss is finite (0)
+    lone = float(supcon_loss(z, jnp.arange(8)))
+    assert np.isfinite(lone) and lone == 0.0
+
+
+def test_contrastive_pretrain_runs_and_groups_batches():
+    """The contrastive path (P words x K variants batches + SupCon aux
+    loss) trains end-to-end and produces a loadable encoder."""
+    from nanowakeword_tpu.models.embedding import EMB_WINDOW, build_encoder, \
+        infer_encoder_arch
+    from nanowakeword_tpu.train.pretrain_encoder import (PretrainConfig,
+                                                         pretrain_encoder)
+    import jax.numpy as jnp
+
+    cfg = PretrainConfig(vocab_size=4, confusable_fraction=0.0,
+                         variants_per_word=4, heldout_variants=1,
+                         clip_samples=16000, noise_clips=4, rir_clips=2,
+                         batch_size=8, steps=2, contrastive_weight=0.5)
+    enc_vars, report = pretrain_encoder(cfg, verbose=False)
+    enc = build_encoder(infer_encoder_arch(enc_vars))
+    out = enc.apply(enc_vars, jnp.zeros((1, EMB_WINDOW, 32)))
+    assert out.shape == (1, 1, 96)
+    assert np.isfinite(report["final_train_loss"])
+
+
+def test_contrastive_rejects_bad_group():
+    import pytest
+
+    from nanowakeword_tpu.train.pretrain_encoder import (PretrainConfig,
+                                                         pretrain_encoder)
+    cfg = PretrainConfig(vocab_size=4, confusable_fraction=0.0,
+                         variants_per_word=2, heldout_variants=1,
+                         clip_samples=16000, noise_clips=4, rir_clips=2,
+                         batch_size=6, steps=1, contrastive_weight=0.5,
+                         contrastive_group=4)
+    with pytest.raises(ValueError):
+        pretrain_encoder(cfg, verbose=False)

@@ -40,6 +40,24 @@ without new information — the arithmetic, not just the verdict):
   banded-matrix formulations overcompute 32-130x. The XLA conv's
   internal relayouts are exactly the part Pallas cannot express better
   on these channel-thin shapes. Blocked.
+* XLA-level folded-H reformulation (measured round 3, later session):
+  fold the small H axis into channels so each 3x3 SAME conv becomes a
+  lane-DENSE 1-D conv over W with a block-banded [3, H*Cin, H*Cout]
+  weight (16 -> 256 -> 256 -> 128 folded channels, exact to 6e-6 on
+  CPU, H/3 ~ 2.7x overcompute). Result: PARITY, 278.5 vs 276.6 ns with
+  prefolded weights (391 when the band construction is traced per
+  call); a 3-shifted-matmul variant of the same math is 2.6x WORSE
+  (709). Stage split: stage1 alone = 176 ns of the 278 — the cost is
+  the [B,96,256] stage-1 intermediate's HBM write+readback around the
+  max_pool (~110 KB/clip at ~625 GB/s effective), NOT lane relayouts.
+  So the earlier "XLA handles channel-thin shapes poorly" hypothesis
+  is refined: XLA already runs this tail at the memory-stream bound of
+  its dataflow. The only remaining route is a kernel that keeps all
+  three stages' intermediates in VMEM (traffic floor ~4.5 KB/clip =
+  read [16,96] bf16 + write [12,64]); the pool's stride-2 lane
+  compaction that blocked previous designs can be dodged by leaving
+  pooled groups in place and zeroing the DEAD input rows of the next
+  stage's folded weight (2x K overcompute, dense shapes).
 
 Usage: python tools/profile_headline.py [variant ...]
 Variants: mel_only mel+conv1 mel+encoder full tail_conv tail_conv_nobn
