@@ -28,6 +28,8 @@ rest of the framework consumes is unchanged.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -125,12 +127,13 @@ class WideSpeechEmbeddingEncoder(nn.Module):
 ENCODER_ARCHS = {
     "conv4": SpeechEmbeddingEncoder,
     "wide128": WideSpeechEmbeddingEncoder,
+    "wide256": functools.partial(WideSpeechEmbeddingEncoder, width=256),
 }
 DEFAULT_ENCODER_ARCH = "conv4"
 
 
 def build_encoder(arch: str = DEFAULT_ENCODER_ARCH, **kwargs):
-    """Encoder module for an architecture id ("conv4" | "wide128")."""
+    """Encoder module for an architecture id ("conv4"|"wide128"|"wide256")."""
     try:
         return ENCODER_ARCHS[arch](**kwargs)
     except KeyError:
@@ -142,12 +145,13 @@ def infer_encoder_arch(variables) -> str:
     """Architecture id from a variables pytree (shape of the first conv).
 
     Assets and `.nww`-bundled encoders carry no explicit arch field from
-    older versions; the first kernel's freq extent identifies the family:
-    (10, 4, 1, 32) -> conv4, (10, 32, 1, width) -> wide128.
+    older versions; the first kernel's freq extent identifies the family
+    and its channel count the width: (10, 4, 1, 32) -> conv4,
+    (10, 32, 1, 128) -> wide128, (10, 32, 1, 256) -> wide256.
     """
     params = variables.get("params", variables)
     kernel = params["Conv_0"]["kernel"]
     shape = tuple(int(s) for s in kernel.shape)
     if shape[:3] == (10, 32, 1):
-        return "wide128"
+        return "wide256" if shape[3] == 256 else "wide128"
     return "conv4"

@@ -823,7 +823,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                    default=PretrainConfig().variants_per_word)
     p.add_argument("--batch", type=int, default=PretrainConfig().batch_size)
     p.add_argument("--arch", default=PretrainConfig().encoder_arch,
-                   help="encoder architecture id (conv4 | wide128)")
+                   help="encoder architecture id (conv4 | wide128 | "
+                        "wide256)")
     p.add_argument("--cache", default=None,
                    help="corpus .npz cache path (skips re-synthesis)")
     p.add_argument("--channels", default=PretrainConfig().channels,

@@ -58,3 +58,29 @@ class TestGeometry:
         # XLA picks different conv algorithms for the two input shapes, so
         # summation order differs; equality is up to float32 accumulation.
         np.testing.assert_allclose(full[0, -1], last[0, 0], atol=5e-3)
+
+
+class TestArchRegistry:
+    """build_encoder / infer_encoder_arch round-trips for every family."""
+
+    @pytest.mark.parametrize("arch,width", [
+        ("conv4", None), ("wide128", 128), ("wide256", 256)])
+    def test_infer_roundtrip(self, arch, width):
+        from nanowakeword_tpu.models.embedding import (build_encoder,
+                                                       infer_encoder_arch)
+        enc = build_encoder(arch)
+        if width is not None:
+            assert enc.width == width
+        params = enc.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, EMB_WINDOW, 32)))
+        assert infer_encoder_arch(params) == arch
+        out = enc.apply(params, jnp.zeros((1, EMB_WINDOW, 32)))
+        assert out.shape == (1, 1, EMBEDDING_DIM)
+
+    def test_wide256_window_contract(self):
+        """wide256 keeps the 76/8 fully-conv geometry of the family."""
+        from nanowakeword_tpu.models.embedding import build_encoder
+        enc = build_encoder("wide256")
+        params = enc.init(jax.random.PRNGKey(1), jnp.zeros((1, 100, 32)))
+        out = enc.apply(params, jnp.zeros((1, 100, 32)))
+        assert out.shape == (1, n_embedding_frames(100), EMBEDDING_DIM)
