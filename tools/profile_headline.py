@@ -58,6 +58,22 @@ without new information — the arithmetic, not just the verdict):
   compaction that blocked previous designs can be dodged by leaving
   pooled groups in place and zeroing the DEAD input rows of the next
   stage's folded weight (2x K overcompute, dense shapes).
+* CLOSING ARITHMETIC on that VMEM-resident folded-tail route (round 3,
+  final session) — NEGATIVE; do not build without new primitives. True
+  tail FLOPs for [16,96]x[16,32,32]: conv1 0.44M + conv2 3.54M +
+  conv3 1.77M = 5.75 MFLOP/clip (29 ns at 197 TFLOP/s peak). The folded
+  formulation pays H-folding (3 taps x full folded K) AND dead-row K
+  doubling at every pooled stage: even granting free W compaction
+  (96->48->24 rows), stage2 = 48 pos x K=768 x N=256 x 2 = 18.9M,
+  stage3 = 24 x 768 x 128 x 2 = 4.7M, stage1 = 2.36M -> ~26 MFLOP/clip
+  = 132 ns at 100% MXU. Without W compaction (the thing the dead-row
+  trick was dodging) it is ~59 MFLOP = 300 ns AT PEAK. The HBM stream
+  it would save is ~110 ns/clip; K=768/N<=256 row-thin matmuls with
+  interleaved maxes will not run anywhere near peak in a Pallas cell
+  (the mel kernel's dots sit at single-digit MXU utilization). So the
+  kernel's compute floor alone exceeds the traffic it saves: the XLA
+  tail at 273 ns stands as the measured product floor for this
+  architecture on this hardware generation.
 
 Usage: python tools/profile_headline.py [variant ...]
 Variants: mel_only mel+conv1 mel+encoder full tail_conv tail_conv_nobn
