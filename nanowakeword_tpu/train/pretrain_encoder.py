@@ -309,6 +309,16 @@ def build_corpus(config: PretrainConfig,
             if verbose:
                 print_info(f"Loaded pretraining corpus from {cache_path}")
             return data
+        # Refuse to clobber a mismatched cache: re-synthesizing would
+        # OVERWRITE the existing corpus at this path, which may be hours
+        # of synthesis for a different --vocab/--variants setting.
+        raise ValueError(
+            f"corpus cache {cache_path} holds "
+            f"{int(data['clips'].shape[0])} clips but the requested config "
+            f"needs {config.vocab_size * config.variants_per_word} "
+            f"(vocab_size={config.vocab_size} x variants_per_word="
+            f"{config.variants_per_word}); pass a different --cache path "
+            "or delete the file to re-synthesize")
 
     words = sample_training_vocab(
         config.vocab_size, seed=config.seed,

@@ -239,3 +239,27 @@ def test_contrastive_rejects_bad_group():
                          contrastive_group=4)
     with pytest.raises(ValueError):
         pretrain_encoder(cfg, verbose=False)
+
+
+def test_corpus_cache_mismatch_refuses_to_clobber(tmp_path):
+    """A --cache file built for a different vocab/variants geometry is a
+    user asset (possibly hours of synthesis): build_corpus must raise, not
+    silently re-synthesize and overwrite it."""
+    from nanowakeword_tpu.train.pretrain_encoder import (PretrainConfig,
+                                                         build_corpus)
+
+    cache = str(tmp_path / "corpus.npz")
+    small = PretrainConfig(vocab_size=3, confusable_fraction=0.0,
+                           variants_per_word=2, heldout_variants=1,
+                           clip_samples=16000, noise_clips=4, rir_clips=2)
+    build_corpus(small, cache_path=cache, verbose=False)
+    before = os.path.getsize(cache)
+
+    bigger = small._replace(vocab_size=5)
+    with pytest.raises(ValueError, match="corpus cache"):
+        build_corpus(bigger, cache_path=cache, verbose=False)
+    assert os.path.getsize(cache) == before  # untouched
+
+    # the matching config still loads it
+    again = build_corpus(small, cache_path=cache, verbose=False)
+    assert int(again["clips"].shape[0]) == 6
