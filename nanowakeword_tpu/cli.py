@@ -263,6 +263,9 @@ def _run_info(model_path: str):
           else f"  Parameters    unknown")
     print(f"  Architecture  {header.get('model_type', '?')} "
           f"({'stateful (carry)' if stateful else 'stateless'})")
+    wd = header.get("weights_dtype", "float32")
+    if wd != "float32":
+        print(f"  Weights       {wd} (restored to float32 at load)")
     print(f"  Frontend      "
           f"{'bundled encoder' if header.get('has_encoder') else 'external'}")
     print(f"\n  Inputs")

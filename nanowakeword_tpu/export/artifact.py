@@ -53,14 +53,56 @@ def _to_plain(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+WEIGHTS_DTYPES = ("float32", "bfloat16", "int8")
+
+# Marks a leaf that was stored unquantized inside an int8 artifact (biases,
+# norm parameters, anything below the quantization cutoff).
+_NO_SCALE = np.zeros((0,), np.float32)
+
+
+def _int8_quantize_leaf(x):
+    """-> (stored_array, per-channel scales or the no-scale sentinel)."""
+    x = np.asarray(x)
+    if x.dtype != np.float32 or x.ndim < 2 or x.size < 64:
+        return x, _NO_SCALE
+    # Symmetric per-output-channel (last axis: Dense [in, out] and conv
+    # [..., in, out] kernels both keep output channels last in Flax).
+    amax = np.max(np.abs(x), axis=tuple(range(x.ndim - 1)))
+    scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def _int8_quantize_tree(tree):
+    """-> (stored_tree, parallel scales_tree)."""
+    stored = jax.tree_util.tree_map(lambda x: _int8_quantize_leaf(x)[0], tree)
+    scales = jax.tree_util.tree_map(lambda x: _int8_quantize_leaf(x)[1], tree)
+    return stored, scales
+
+
+def _int8_dequantize_tree(stored, scales):
+    def leaf(x, s):
+        x, s = np.asarray(x), np.asarray(s)
+        return x.astype(np.float32) * s if s.size else x
+    return jax.tree_util.tree_map(leaf, stored, scales)
+
+
 def save_nww(path: str, *, model, config, model_name: str,
              encoder_variables=None, extra_meta: Optional[dict] = None,
              weights_dtype: Optional[str] = None) -> str:
     """Serialize a trained Model (+ optional frontend encoder) to one file.
 
-    weights_dtype="bfloat16" halves the artifact (useful for lite/gate
-    models shipped to edge fleets); weights are restored to float32 at load.
+    weights_dtype="bfloat16" halves the artifact; weights_dtype="int8"
+    stores every >=2-D float kernel as symmetric per-output-channel int8
+    (~4x smaller than float32 — a ~12K-param gate student lands well under
+    the reference's "~50KB lite ONNX" claim, `CHANGELOG.md:23`). Weights are
+    restored to float32 at load, so training/serving code never sees the
+    storage dtype. Both are useful for lite/gate models shipped to edge
+    fleets.
     """
+    if weights_dtype is not None and weights_dtype not in WEIGHTS_DTYPES:
+        raise ValueError(f"weights_dtype must be one of {WEIGHTS_DTYPES}, "
+                         f"got {weights_dtype!r}")
     arch_config = {}
     # The model's OWN config wins (a distilled student carries different
     # embedding_dim/activation than the pipeline config used to train the
@@ -108,8 +150,11 @@ def save_nww(path: str, *, model, config, model_name: str,
         header["meta"] = extra_meta
 
     def _cast(tree):
+        """-> (stored_tree, scales_tree|None)."""
+        if weights_dtype == "int8":
+            return _int8_quantize_tree(_to_plain(tree))
         if weights_dtype != "bfloat16":
-            return _to_plain(tree)
+            return _to_plain(tree), None
         import jax.numpy as jnp
 
         def leaf(x):
@@ -117,12 +162,18 @@ def save_nww(path: str, *, model, config, model_name: str,
             if x.dtype == np.float32:
                 return np.asarray(jnp.asarray(x, jnp.bfloat16))
             return x
-        return jax.tree_util.tree_map(leaf, tree)
+        return jax.tree_util.tree_map(leaf, tree), None
 
     header["weights_dtype"] = weights_dtype or "float32"
-    payload = {"variables": _cast(model.variables)}
+    stored_vars, var_scales = _cast(model.variables)
+    payload = {"variables": stored_vars}
+    if var_scales is not None:
+        payload["scales"] = var_scales
     if encoder_variables is not None:
-        payload["encoder_variables"] = _cast(encoder_variables)
+        stored_enc, enc_scales = _cast(encoder_variables)
+        payload["encoder_variables"] = stored_enc
+        if enc_scales is not None:
+            payload["encoder_scales"] = enc_scales
     blob = serialization.msgpack_serialize(payload)
     header_bytes = json.dumps(header).encode("utf-8")
 
@@ -169,8 +220,12 @@ def load_nww(path: str):
         n_blocks=int(build.get("n_blocks", 1)),
         dropout_prob=float(build.get("dropout_prob", 0.5)),
     )
-    def _upcast(tree):
-        if header.get("weights_dtype", "float32") != "bfloat16":
+    weights_dtype = header.get("weights_dtype", "float32")
+
+    def _upcast(tree, scales):
+        if weights_dtype == "int8":
+            return _int8_dequantize_tree(tree, scales)
+        if weights_dtype != "bfloat16":
             return tree
         import jax.numpy as jnp
 
@@ -181,21 +236,24 @@ def load_nww(path: str):
             return arr
         return jax.tree_util.tree_map(leaf, tree)
 
-    restored = serialization.from_state_dict(model.variables,
-                                             _upcast(payload["variables"]))
+    restored = serialization.from_state_dict(
+        model.variables,
+        _upcast(payload["variables"], payload.get("scales")))
     model.load_variables(restored)
     encoder_vars = payload.get("encoder_variables")
     if encoder_vars is not None:
-        encoder_vars = _upcast(encoder_vars)
+        encoder_vars = _upcast(encoder_vars, payload.get("encoder_scales"))
     return header, model, encoder_vars
 
 
 def export_model(model, input_shape, config, model_name: str,
-                 output_dir: str, encoder_variables=None) -> str:
+                 output_dir: str, encoder_variables=None,
+                 weights_dtype: Optional[str] = None) -> str:
     """The built-in export step (replaces export_onnx_model in the pipeline)."""
     path = os.path.join(output_dir, model_name + EXTENSION)
     return save_nww(path, model=model, config=config, model_name=model_name,
-                    encoder_variables=encoder_variables)
+                    encoder_variables=encoder_variables,
+                    weights_dtype=weights_dtype)
 
 
 def export_params_msgpack(model, model_name: str, output_dir: str) -> str:

@@ -124,6 +124,12 @@ class WideSpeechEmbeddingEncoder(nn.Module):
                         precision=self.precision)(x)
 
 
+# wide256 measured (pretrain v7/v8, large 48-word cross-channel eval):
+# with supcon at 12k steps it scores 0.839 formant / 0.797 resonator /
+# 0.707 heldout-fx pair acc — BELOW the shipped wide128 v3 asset
+# (0.844/0.792/0.733) at 3.7x the parameters. Capacity is not the binding
+# constraint on this synthetic corpus; the arch stays registered for users
+# who pretrain on real speech.
 ENCODER_ARCHS = {
     "conv4": SpeechEmbeddingEncoder,
     "wide128": WideSpeechEmbeddingEncoder,

@@ -177,7 +177,8 @@ def distill_from_artifact(artifact_path: str, X_train, config,
 
     lite_name = model_name + "_lite"
     export_model(student, input_shape, config, lite_name, output_dir,
-                 encoder_variables=encoder_vars)
+                 encoder_variables=encoder_vars,
+                 weights_dtype=dist_cfg.get("weights_dtype"))
     lite_path = f"{output_dir}/{lite_name}{EXTENSION}"
     print_info(f"[Distillation] Lite model exported to: {lite_path}")
     return lite_path

@@ -388,7 +388,8 @@ def train(cli_args=None):
                                         input_shape=input_shape)
                 export_model(student, input_shape, config,
                              model_name + "_lite", model_save_dir,
-                             encoder_variables=encoder_vars)
+                             encoder_variables=encoder_vars,
+                             weights_dtype=dist_cfg.get("weights_dtype"))
                 try:
                     export_onnx_model(student, input_shape, config,
                                       model_name + "_lite", model_save_dir)

@@ -130,6 +130,58 @@ class TestJournal:
         assert len(db) == 2
 
 
+class TestInt8Artifacts:
+    def test_int8_quarters_size_and_roundtrips(self, tmp_path, model):
+        m, cfg = model
+        x = np.random.default_rng(0).normal(size=(4, 16, 96)).astype(
+            np.float32)
+        before = np.asarray(m(x))
+
+        p32 = str(tmp_path / "f32.nww")
+        p8 = str(tmp_path / "int8.nww")
+        save_nww(p32, model=m, config=cfg, model_name="arti")
+        save_nww(p8, model=m, config=cfg, model_name="arti",
+                 weights_dtype="int8")
+        assert os.path.getsize(p8) < 0.45 * os.path.getsize(p32)
+
+        header, restored, _ = load_nww(p8)
+        assert header["weights_dtype"] == "int8"
+        # per-channel symmetric int8: kernels within 1/127 of their
+        # channel max, so score drift stays in the noise
+        after = np.asarray(restored(x))
+        np.testing.assert_allclose(before, after, atol=0.02)
+        import jax
+        assert all(l.dtype == np.float32 or not np.issubdtype(l.dtype,
+                                                              np.floating)
+                   for l in jax.tree_util.tree_leaves(
+                       restored.variables))
+
+    def test_int8_encoder_bundle_roundtrips(self, tmp_path, model):
+        m, cfg = model
+        from nanowakeword_tpu.data.features import _default_encoder_variables
+        import jax
+        enc_vars = _default_encoder_variables()
+        path = str(tmp_path / "enc8.nww")
+        save_nww(path, model=m, config=cfg, model_name="arti",
+                 encoder_variables=enc_vars, weights_dtype="int8")
+        _, _, enc = load_nww(path)
+        orig = jax.tree_util.tree_leaves(enc_vars)
+        back = jax.tree_util.tree_leaves(enc)
+        assert len(orig) == len(back)
+        for o, b in zip(orig, back):
+            o, b = np.asarray(o), np.asarray(b)
+            assert b.dtype == o.dtype and b.shape == o.shape
+            if o.dtype == np.float32 and o.size:
+                span = max(float(np.abs(o).max()), 1e-6)
+                assert float(np.abs(o - b).max()) <= span / 100.0
+
+    def test_unknown_weights_dtype_rejected(self, tmp_path, model):
+        m, cfg = model
+        with pytest.raises(ValueError, match="weights_dtype"):
+            save_nww(str(tmp_path / "x.nww"), model=m, config=cfg,
+                     model_name="arti", weights_dtype="int4")
+
+
 class TestBf16Artifacts:
     def test_bf16_halves_size_and_roundtrips(self, tmp_path, model):
         m, cfg = model
