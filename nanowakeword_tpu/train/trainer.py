@@ -284,7 +284,8 @@ class Trainer:
             logit_reg_weight=float(config.get("logit_reg_weight", 2e-4)),
             logit_reg_margin=float(config.get("logit_reg_margin", 6.0)),
             hardness_alpha=float(config.get("hardness_ema_alpha", 0.05)),
-            hardness_floor=float(config.get("hardness_floor", 0.05)))
+            hardness_floor=float(config.get("hardness_floor", 0.05)),
+            sampling=str(dc.get("sampling", "auto")))
 
         ema_loss = None
         ema_alpha = float(config.get("ema_alpha", 0.01))

@@ -104,6 +104,37 @@ class TestSampler:
         assert a == b
 
 
+class TestDeviceSampling:
+    """The device-cached loop's on-device _sample_rule (train/cached.py)."""
+
+    def test_approx_matches_exact_semantics(self):
+        import jax
+        import jax.numpy as jnp
+        from nanowakeword_tpu.train.cached import _sample_rule
+
+        n, quota = 4096, 64
+        pool = jnp.arange(1000, 1000 + n, dtype=jnp.int32)
+        hardness = jnp.full(n + 2000, 1e-6).at[1000 + n // 2].set(1e6)
+        for mode in ("exact", "approx"):
+            hits = 0
+            for trial in range(20):
+                idx = np.asarray(_sample_rule(
+                    jax.random.PRNGKey(trial), pool, hardness, quota,
+                    False, mode))
+                # valid draw: quota honored, all from pool, no duplicates
+                assert idx.shape == (quota,)
+                assert np.isin(idx, np.asarray(pool)).all()
+                assert len(np.unique(idx)) == quota
+                hits += int(1000 + n // 2 in idx)
+            # the one extremely hard sample is (almost) always selected
+            assert hits >= 18, f"{mode}: hard sample picked {hits}/20"
+
+    def test_auto_switches_on_pool_size(self):
+        from nanowakeword_tpu.train import cached
+        assert cached.APPROX_SAMPLING_MIN_POOL > 4096  # small pools exact:
+        # the tiny-dataset tests above must keep reference-exact sampling
+
+
 class TestValidation:
     def test_flat_enumeration(self, manifest):
         vd = ValidationDataset(manifest)
