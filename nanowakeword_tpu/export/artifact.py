@@ -267,7 +267,8 @@ def export_params_msgpack(model, model_name: str, output_dir: str) -> str:
 
 
 def export_onnx_model(model, input_shape, config, model_name: str,
-                      output_dir: str) -> Optional[str]:
+                      output_dir: str,
+                      weights_dtype: Optional[str] = None) -> Optional[str]:
     """ONNX interchange export (reference `_export/onnx.py:26-88` parity).
 
     Self-contained: the graph is built straight from the Flax parameters and
@@ -288,7 +289,10 @@ def export_onnx_model(model, input_shape, config, model_name: str,
         return None
     path = os.path.join(output_dir, model_name + ".onnx")
     try:
-        return export_onnx(model, path, input_shape=input_shape)
+        # int8 is the only quantized ONNX form; bfloat16 is .nww-only
+        return export_onnx(model, path, input_shape=input_shape,
+                           weights_dtype=("int8" if weights_dtype == "int8"
+                                          else None))
     except NotImplementedError as e:
         print_error(f"ONNX export skipped: {e}")
         return None

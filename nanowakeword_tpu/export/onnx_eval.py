@@ -186,6 +186,12 @@ def run(model: Union[str, bytes, P.ParsedModel],
             y = a.get("alpha", 1.0) * (A @ B)
             if len(x) > 2:
                 y = y + a.get("beta", 1.0) * x[2]
+        elif op == "DequantizeLinear":
+            # weight-only per-axis symmetric form: (int8, scales[axis])
+            axis = a.get("axis", 1) % x[0].ndim
+            shape = [1] * x[0].ndim
+            shape[axis] = -1
+            y = x[0].astype(np.float32) * x[1].reshape(shape)
         elif op == "Relu":
             y = np.maximum(x[0], 0)
         elif op == "Sigmoid":

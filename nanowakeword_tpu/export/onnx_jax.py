@@ -177,6 +177,13 @@ def make_jax_fn(model: Union[str, bytes, P.ParsedModel]):
                     y = y + a.get("beta", 1.0) * jnp.asarray(x[2])
             elif op == "MatMul":
                 y = jnp.asarray(x[0]) @ jnp.asarray(x[1])
+            elif op == "DequantizeLinear":
+                # weight-only per-axis symmetric form: (int8, scales[axis])
+                w = jnp.asarray(x[0])
+                axis = a.get("axis", 1) % w.ndim
+                shape = [1] * w.ndim
+                shape[axis] = -1
+                y = w.astype(jnp.float32) * jnp.asarray(x[1]).reshape(shape)
             elif op == "Relu":
                 y = jax.nn.relu(jnp.asarray(x[0]))
             elif op == "Sigmoid":

@@ -20,7 +20,7 @@ Field numbers follow onnx/onnx.proto (apache-2.0, stable since IR v3):
                  (type enum: FLOAT=1 INT=2 STRING=3 TENSOR=4 FLOATS=6
                   INTS=7 STRINGS=8)
   TensorProto:   dims=1 data_type=2 float_data=4 int64_data=7 name=8
-                 raw_data=9   (data_type enum: FLOAT=1 INT64=7)
+                 raw_data=9   (data_type enum: FLOAT=1 INT8=3 INT64=7)
   ValueInfo:     name=1 type=2
   TypeProto:     tensor_type=1 ; Tensor: elem_type=1 shape=2
   TensorShape:   dim=1 ; Dimension: dim_value=1 dim_param=2
@@ -40,7 +40,7 @@ import numpy as np
 # wire types
 _VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
 
-FLOAT, INT64 = 1, 7          # TensorProto.DataType
+FLOAT, INT8, INT64 = 1, 3, 7  # TensorProto.DataType
 ATTR_FLOAT, ATTR_INT, ATTR_STRING, ATTR_TENSOR = 1, 2, 3, 4
 ATTR_FLOATS, ATTR_INTS, ATTR_STRINGS = 6, 7, 8
 
@@ -152,6 +152,8 @@ def tensor(name: str, array: np.ndarray) -> bytes:
     array = np.asarray(array)
     if array.dtype == np.int64:
         dtype = INT64
+    elif array.dtype == np.int8:
+        dtype = INT8
     else:
         array = array.astype(np.float32)
         dtype = FLOAT
@@ -246,7 +248,8 @@ class ParsedTensor:
                 dims.extend(_unpack_varints(item))
         self.dims = dims
         self.data_type = f.get(2, [FLOAT])[0]
-        np_dtype = np.int64 if self.data_type == INT64 else np.float32
+        np_dtype = {INT64: np.int64, INT8: np.int8}.get(
+            self.data_type, np.float32)
         if 9 in f:                                 # raw_data
             self.array = np.frombuffer(f[9][0], np_dtype).reshape(dims)
         elif 4 in f and self.data_type == FLOAT:   # packed float_data

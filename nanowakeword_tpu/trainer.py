@@ -392,7 +392,9 @@ def train(cli_args=None):
                              weights_dtype=dist_cfg.get("weights_dtype"))
                 try:
                     export_onnx_model(student, input_shape, config,
-                                      model_name + "_lite", model_save_dir)
+                                      model_name + "_lite", model_save_dir,
+                                      weights_dtype=dist_cfg.get(
+                                          "weights_dtype"))
                 except Exception as e:  # noqa: BLE001
                     print_warning(f"ONNX export of lite model failed: {e}")
                 try:

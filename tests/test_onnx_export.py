@@ -258,6 +258,70 @@ def test_batch_of_one_bounds():
     assert len({round(float(s), 6) for s in scores}) > 1
 
 
+class TestInt8Export:
+    """Weight-only int8 graphs: int8 initializers + DequantizeLinear."""
+
+    @pytest.mark.parametrize("model_type", ["dnn", "cnn", "crnn",
+                                            "conformer"])
+    def test_int8_score_parity(self, model_type):
+        model = _randomize_batch_stats(_model(model_type))
+        data = build_onnx(model, weights_dtype="int8")
+        feats = np.random.default_rng(1).normal(
+            size=(2, 16, 96)).astype(np.float32)
+        got = onnx_eval.run(data, {"features": feats})["score"]
+        want = _score_jax(model, feats)
+        # per-channel int8 weight noise only
+        np.testing.assert_allclose(got, want, atol=0.02)
+        # and the graph really is quantized
+        m = P.load_model(data)
+        q = [a for a in m.graph.initializers.values()
+             if np.asarray(a).dtype == np.int8]
+        assert q, "no int8 initializers in the quantized graph"
+        assert any(nd.op_type == "DequantizeLinear" for nd in m.graph.nodes)
+
+    def test_int8_shrinks_file(self, tmp_path):
+        model = _model("dnn", layer_dim=64, n_blocks=2)
+        p32 = export_onnx(model, str(tmp_path / "f32.onnx"))
+        p8 = export_onnx(model, str(tmp_path / "i8.onnx"),
+                         weights_dtype="int8")
+        import os
+        assert os.path.getsize(p8) < 0.45 * os.path.getsize(p32)
+
+    def test_int8_runs_on_jax_runtime(self, tmp_path):
+        from nanowakeword_tpu.export.onnx_jax import make_jax_fn
+        model = _model("dnn")
+        path = export_onnx(model, str(tmp_path / "q.onnx"),
+                           weights_dtype="int8")
+        fn, _ = make_jax_fn(path)
+        feats = np.random.default_rng(2).normal(
+            size=(1, 16, 96)).astype(np.float32)
+        got = np.asarray(fn({"features": feats})["score"])
+        np.testing.assert_allclose(got, _score_jax(model, feats), atol=0.02)
+
+    def test_int8_stateful_streaming_gru(self):
+        model = _model("streaming_gru", layer_dim=24, n_blocks=1)
+        data = build_onnx(model, weights_dtype="int8")
+        m = P.load_model(data)
+        assert any(np.asarray(a).dtype == np.int8
+                   for a in m.graph.initializers.values())
+
+    def test_rejects_unknown_dtype(self, tmp_path):
+        with pytest.raises(ValueError, match="weights_dtype"):
+            export_onnx(_model("dnn"), str(tmp_path / "x.onnx"),
+                        weights_dtype="int4")
+
+    def test_int8_onnxruntime_if_available(self, tmp_path):
+        ort = pytest.importorskip("onnxruntime")
+        model = _model("dnn")
+        path = export_onnx(model, str(tmp_path / "q.onnx"),
+                           weights_dtype="int8")
+        sess = ort.InferenceSession(path)
+        feats = np.random.default_rng(3).normal(
+            size=(1, 16, 96)).astype(np.float32)
+        got = sess.run(["score"], {"features": feats})[0]
+        np.testing.assert_allclose(got, _score_jax(model, feats), atol=0.02)
+
+
 def test_onnxruntime_if_available(tmp_path):
     ort = pytest.importorskip("onnxruntime")
     model = _model("dnn", "gelu")
