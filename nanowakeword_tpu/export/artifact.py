@@ -60,23 +60,32 @@ WEIGHTS_DTYPES = ("float32", "bfloat16", "int8")
 _NO_SCALE = np.zeros((0,), np.float32)
 
 
-def _int8_quantize_leaf(x):
-    """-> (stored_array, per-channel scales or the no-scale sentinel)."""
+def int8_quantize(x, axis: int = -1):
+    """Symmetric per-channel int8 along ``axis`` (the output-channel axis).
+
+    -> (int8 array, 1-D per-channel scales), or (x, the no-scale sentinel)
+    for leaves below the quantization cutoff (non-f32, <2-D, tiny). The one
+    quantization recipe shared by the .nww artifact (last axis: Flax Dense
+    [in, out] and conv [..., in, out] keep output channels last) and the
+    ONNX exporter (whichever axis the ONNX weight layout puts channels on).
+    """
     x = np.asarray(x)
     if x.dtype != np.float32 or x.ndim < 2 or x.size < 64:
         return x, _NO_SCALE
-    # Symmetric per-output-channel (last axis: Dense [in, out] and conv
-    # [..., in, out] kernels both keep output channels last in Flax).
-    amax = np.max(np.abs(x), axis=tuple(range(x.ndim - 1)))
+    ax = axis % x.ndim
+    red = tuple(i for i in range(x.ndim) if i != ax)
+    amax = np.max(np.abs(x), axis=red, keepdims=True)
     scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
     q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
-    return q, scale
+    return q, scale.reshape(-1)
 
 
 def _int8_quantize_tree(tree):
-    """-> (stored_tree, parallel scales_tree)."""
-    stored = jax.tree_util.tree_map(lambda x: _int8_quantize_leaf(x)[0], tree)
-    scales = jax.tree_util.tree_map(lambda x: _int8_quantize_leaf(x)[1], tree)
+    """-> (stored_tree, parallel scales_tree); one quantization pass."""
+    is_pair = lambda p: isinstance(p, tuple)  # noqa: E731
+    pairs = jax.tree_util.tree_map(int8_quantize, tree)
+    stored = jax.tree_util.tree_map(lambda p: p[0], pairs, is_leaf=is_pair)
+    scales = jax.tree_util.tree_map(lambda p: p[1], pairs, is_leaf=is_pair)
     return stored, scales
 
 

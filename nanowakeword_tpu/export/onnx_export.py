@@ -90,19 +90,16 @@ class _GraphBuilder:
 
     def init_tensor(self, hint: str, array, quant_axis=None) -> str:
         array = np.asarray(array)
-        if (self.quantize and quant_axis is not None
-                and array.dtype == np.float32 and array.ndim >= 2
-                and array.size >= 64):
-            axis = quant_axis % array.ndim
-            red = tuple(i for i in range(array.ndim) if i != axis)
-            amax = np.max(np.abs(array), axis=red, keepdims=True)
-            scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
-            q = np.clip(np.round(array / scale), -127, 127).astype(np.int8)
-            qn = self.name(f"{hint}_q")
-            sn = self.name(f"{hint}_s")
-            self.inits.append(P.tensor(qn, q))
-            self.inits.append(P.tensor(sn, scale.reshape(-1)))
-            return self.add("DequantizeLinear", [qn, sn], axis=axis)
+        if self.quantize and quant_axis is not None:
+            from nanowakeword_tpu.export.artifact import int8_quantize
+            q, scale = int8_quantize(array, axis=quant_axis)
+            if scale.size:  # eligible leaf (f32, >=2-D, above cutoff)
+                qn = self.name(f"{hint}_q")
+                sn = self.name(f"{hint}_s")
+                self.inits.append(P.tensor(qn, q))
+                self.inits.append(P.tensor(sn, scale))
+                return self.add("DequantizeLinear", [qn, sn],
+                                axis=quant_axis % array.ndim)
         name = self.name(hint)
         self.inits.append(P.tensor(name, array))
         return name

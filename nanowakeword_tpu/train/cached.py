@@ -158,6 +158,9 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
     split across chips and XLA psums the gradients over ICI. Use
     `put_cached_on_mesh` + `parallel.dp.shard_train_state` on the inputs.
     """
+    if sampling not in ("exact", "approx", "auto"):
+        raise ValueError("device_cache.sampling must be 'exact', 'approx' "
+                         f"or 'auto', got {sampling!r}")
     loss_fn_name = loss_function.lower()
     batch_sharding = None
     if mesh is not None:

@@ -158,6 +158,8 @@ def distill_from_artifact(artifact_path: str, X_train, config,
         load_nww
 
     dist_cfg = config.get("distillation", {})
+    from nanowakeword_tpu.trainer import _check_weights_dtype
+    _check_weights_dtype(dist_cfg)  # fail before the distill loop runs
     steps = int(dist_cfg.get("steps", 8000))
     temperature = float(dist_cfg.get("temperature", 4.0))
     alpha = float(dist_cfg.get("alpha", 0.7))

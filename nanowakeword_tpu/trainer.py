@@ -227,6 +227,15 @@ def _train_end_to_end(config, e2e_cfg, args, model_name, project_dir,
                f"{model_save_dir}")
 
 
+def _check_weights_dtype(dist_cfg) -> None:
+    """Reject a bad distillation.weights_dtype before any training runs."""
+    from nanowakeword_tpu.export.artifact import WEIGHTS_DTYPES
+    wd = dist_cfg.get("weights_dtype")
+    if wd is not None and wd not in WEIGHTS_DTYPES:
+        raise ValueError("distillation.weights_dtype must be one of "
+                         f"{WEIGHTS_DTYPES}, got {wd!r}")
+
+
 def train(cli_args=None):
     args = _build_parser().parse_args(cli_args)
     print_banner()
@@ -380,6 +389,7 @@ def train(cli_args=None):
         should_distill = bool(dist_cfg.get("enabled", True)) or args.distill
         if should_distill:
             try:
+                _check_weights_dtype(dist_cfg)  # fail BEFORE the 8k steps
                 print_step_header("Distillation: Building Lite Model")
                 from nanowakeword_tpu.train.distill import distill_model
                 student = distill_model(teacher=best_model,

@@ -129,10 +129,36 @@ class TestDeviceSampling:
             # the one extremely hard sample is (almost) always selected
             assert hits >= 18, f"{mode}: hard sample picked {hits}/20"
 
-    def test_auto_switches_on_pool_size(self):
+    def test_auto_switches_on_pool_size(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
         from nanowakeword_tpu.train import cached
         assert cached.APPROX_SAMPLING_MIN_POOL > 4096  # small pools exact:
         # the tiny-dataset tests above must keep reference-exact sampling
+
+        n, quota = 2048, 16
+        pool = jnp.arange(n, dtype=jnp.int32)
+        hardness = jnp.linspace(0.05, 1.0, n)
+        key = jax.random.PRNGKey(5)
+
+        def draw(mode):
+            return np.asarray(cached._sample_rule(
+                key, pool, hardness, quota, False, mode))
+
+        # same key => deterministic: auto must equal the mode it routes to
+        monkeypatch.setattr(cached, "APPROX_SAMPLING_MIN_POOL", n - 1)
+        assert (draw("auto") == draw("approx")).all()
+        monkeypatch.setattr(cached, "APPROX_SAMPLING_MIN_POOL", n + 1)
+        assert (draw("auto") == draw("exact")).all()
+
+    def test_unknown_sampling_mode_rejected(self):
+        import optax
+        import pytest as _pytest
+        from nanowakeword_tpu.train.cached import make_cached_train_loop
+        with _pytest.raises(ValueError, match="device_cache.sampling"):
+            make_cached_train_loop(None, optax.sgd(1e-3), quotas=(4,),
+                                   replace=(False,), k_steps=1,
+                                   sampling="aprox")
 
 
 class TestValidation:
