@@ -176,3 +176,124 @@ class TestStatefulStreaming:
         assert not np.allclose(np.asarray(carry1[0]), np.asarray(carry2[0]))
         interp.reset()
         assert interp.hidden_states["sgru"] is None
+
+
+class TestListenLoop:
+    """Drives the real listen() capture->ring->predict loop with a fake
+    pyaudio module (round-2 weak #8: these paths had no executed test —
+    no audio device exists in CI, so the mic is simulated)."""
+
+    def test_listen_detects_scores_and_stops(self, artifact, monkeypatch):
+        import sys
+        import threading  # noqa: F401  (listen uses it internally)
+        import time
+        import types
+
+        served = {"n": 0}
+
+        class FakeStream:
+            def read(self, n, exception_on_overflow=False):
+                served["n"] += 1
+                time.sleep(0.002)  # pace like a (fast) microphone
+                rng = np.random.default_rng(served["n"])
+                return (rng.normal(0, 0.05, n) * 32767).astype(
+                    np.int16).tobytes()
+
+            def stop_stream(self):
+                pass
+
+            def close(self):
+                pass
+
+        class FakePyAudio:
+            def open(self, **kwargs):
+                assert kwargs["rate"] == 16000 and kwargs["channels"] == 1
+                return FakeStream()
+
+            def terminate(self):
+                pass
+
+        fake = types.ModuleType("pyaudio")
+        fake.paInt16 = 8
+        fake.PyAudio = FakePyAudio
+        monkeypatch.setitem(sys.modules, "pyaudio", fake)
+
+        interp = NanoInterpreter.load_model(artifact)
+        detections, scores, chunks = [], [], []
+        interp.listen(
+            on_detection=lambda name, s: detections.append(
+                (name, s, time.monotonic())),
+            threshold=-1.0,      # every scored chunk clears the bar
+            cooldown=0.2,
+            blocking=False,
+            on_score=lambda v, g: scores.append(v),
+            on_audio=lambda a: chunks.append(a))
+        deadline = time.time() + 60
+        while len(detections) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        interp.stop()
+        assert interp._listen_thread is None  # stop() joined and cleared
+
+        assert detections, "listen() never fired a detection"
+        assert detections[0][0] == "toy"
+        assert scores and chunks
+        assert all(c.dtype == np.int16 and len(c) == 1280
+                   for c in chunks[:3])
+        if len(detections) >= 2:   # cooldown enforced between firings
+            assert detections[1][2] - detections[0][2] >= 0.2 * 0.9
+        # the mic kept being read the whole time
+        assert served["n"] >= len(chunks)
+
+
+class TestNoiseReduction:
+    """_reduce_noise plumbing with a fake noisereduce module (round-2 weak
+    #8: noisereduce is absent in CI, so the import-time gate is patched)."""
+
+    def _fake(self, monkeypatch, fn):
+        import types
+        import nanowakeword_tpu.interpreter.nanointerpreter as ni
+        monkeypatch.setattr(ni, "NOISEREDUCE_AVAILABLE", True)
+        # `nr` is unbound when the real package is absent -> raising=False
+        monkeypatch.setattr(ni, "nr",
+                            types.SimpleNamespace(reduce_noise=fn),
+                            raising=False)
+        return ni
+
+    def test_applied_on_predict_when_enabled(self, artifact, monkeypatch):
+        calls = {"n": 0}
+
+        def halve(y, sr, stationary=True):
+            assert sr == 16000
+            calls["n"] += 1
+            return y * 0.5
+
+        self._fake(monkeypatch, halve)
+        interp = NanoInterpreter.load_model(artifact,
+                                            enable_noise_reduction=True)
+        assert interp.noise_reducer_enabled
+        x = (np.random.default_rng(0).normal(0, 0.05, 1280)
+             * 32767).astype(np.int16)
+        out = interp._reduce_noise(x)
+        assert calls["n"] == 1
+        np.testing.assert_allclose(
+            out, (x.astype(np.float32) * 0.5).astype(np.int16), atol=1)
+        interp.predict(x)
+        assert calls["n"] == 2, "predict() skipped the noise reducer"
+
+    def test_failure_returns_original_audio(self, artifact, monkeypatch):
+        def boom(y, sr, stationary=True):
+            raise RuntimeError("synthetic failure")
+
+        self._fake(monkeypatch, boom)
+        interp = NanoInterpreter.load_model(artifact,
+                                            enable_noise_reduction=True)
+        x = (np.random.default_rng(1).normal(0, 0.05, 1280)
+             * 32767).astype(np.int16)
+        np.testing.assert_array_equal(interp._reduce_noise(x), x)
+
+    def test_disabled_when_package_missing(self, artifact, monkeypatch):
+        import nanowakeword_tpu.interpreter.nanointerpreter as ni
+        monkeypatch.setattr(ni, "NOISEREDUCE_AVAILABLE", False)
+        interp = NanoInterpreter.load_model(artifact,
+                                            enable_noise_reduction=True)
+        assert not interp.noise_reducer_enabled
