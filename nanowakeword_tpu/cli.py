@@ -212,8 +212,15 @@ def _run_info_onnx(model_path: str):
 
     parsed = P.load_model(model_path)
     g = parsed.graph
-    n_params = int(sum(np.prod(a.shape) for a in g.initializers.values()
-                       if a.dtype == np.float32))
+    # weight-only-int8 graphs keep kernels as int8 initializers; their
+    # per-channel scale vectors (2nd DequantizeLinear input) aren't params
+    scale_names = {nd.inputs[1] for nd in g.nodes
+                   if nd.op_type == "DequantizeLinear"}
+    n_params = int(sum(np.prod(a.shape)
+                       for name, a in g.initializers.items()
+                       if a.dtype in (np.float32, np.int8)
+                       and name not in scale_names))
+    quantized = any(a.dtype == np.int8 for a in g.initializers.values())
     size_kb = os.path.getsize(model_path) / 1024
     name = os.path.splitext(os.path.basename(model_path))[0]
     ops = sorted({nd.op_type for nd in g.nodes})
@@ -226,6 +233,9 @@ def _run_info_onnx(model_path: str):
     print(f"  Parameters    {n_params:,}")
     print(f"  Format        ONNX (opset {parsed.opsets.get('', '?')}, "
           f"ir {parsed.ir_version}, producer {parsed.producer})")
+    if quantized:
+        print("  Weights       weight-only int8 (per-channel "
+              "DequantizeLinear)")
     print(f"  Graph         {len(g.nodes)} nodes: {', '.join(ops)}")
     print(f"\n  Inputs")
     for vi in g.inputs:

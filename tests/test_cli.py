@@ -78,6 +78,25 @@ class TestInfo:
         assert "features" in out and "score" in out
         assert "Gemm" in out
 
+    def test_info_reads_int8_onnx(self, tmp_path, capsys):
+        """Quantized exports report their storage and a correct param
+        count (int8 kernels counted, DequantizeLinear scales excluded)."""
+        from nanowakeword_tpu.export.onnx_export import export_onnx
+        from nanowakeword_tpu.models.model import Model
+        cfg = {"activation_function": "relu", "embedding_dim": 16}
+        m = Model(config=cfg, model_name="info_q", input_shape=(16, 96),
+                  model_type="dnn", layer_dim=16, n_blocks=1)
+        p32 = export_onnx(m, str(tmp_path / "f.onnx"))
+        cli._run_info(p32)
+        params_f32 = [l for l in capsys.readouterr().out.splitlines()
+                      if "Parameters" in l][0]
+        p8 = export_onnx(m, str(tmp_path / "q.onnx"), weights_dtype="int8")
+        cli._run_info(p8)
+        out = capsys.readouterr().out
+        assert "weight-only int8" in out
+        params_int8 = [l for l in out.splitlines() if "Parameters" in l][0]
+        assert params_int8.split()[-1] == params_f32.split()[-1]
+
 
 class TestMainRouting:
     def test_no_args_prints_help_and_exits(self, monkeypatch, capsys):
