@@ -301,12 +301,18 @@ def bench_all(batch: int = 2048):
     flags = jax.device_put(np.ones(batch, bool))
     no_flags = jax.device_put(np.zeros(batch, bool))
 
-    @jax.jit
-    def train_with_aug(st, ev, key_audio, bg_, rirs_, fg_lens_, flags_,
+    def train_with_aug(i, st, ev, key_audio, bg_, rirs_, fg_lens_, flags_,
                        no_flags_, labels_):
         # everything device-resident passes as ARGS: closure-captured arrays
-        # get baked into the graph as constants and blow up remote compiles
-        key = jax.random.PRNGKey(0)
+        # get baked into the graph as constants and blow up remote compiles.
+        # The step index MUST fold into the key: with a fixed key the whole
+        # augment->mel->specaug->encoder prefix is loop-invariant and XLA's
+        # while-loop LICM hoists it out of the chain — a fixed-key chain
+        # measured 170k clips/s where the honest per-step recompute (what a
+        # real training loop does: fresh augmentation every batch) measures
+        # the full augmentation cost. Real RNG per step == real work per
+        # step.
+        key = jax.random.fold_in(jax.random.PRNGKey(0), i)
         aug = augment_batch(key, key_audio, bg_, rirs_, fg_lens_, flags_,
                             no_flags_, aug_params).astype(jnp.float32)
         mel = mel_frontend_fused(aug, out_dtype=jnp.bfloat16)
@@ -326,9 +332,9 @@ def bench_all(batch: int = 2048):
 
     @jax.jit
     def train_chain(st, *ta):
-        def body(_, carry):
+        def body(i, carry):
             st_, _loss = carry
-            return train_with_aug(st_, *ta)
+            return train_with_aug(i, st_, *ta)
         return jax.lax.fori_loop(0, n_steps, body,
                                  (st, jnp.float32(0.0)))
 
