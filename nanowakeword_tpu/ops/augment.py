@@ -129,6 +129,16 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
     n_windows = n // blk - window // blk + 1
     rate = 2.0 ** (semitones / 12.0)
 
+    # Operand dtype for the two MXU contractions: bf16. The MXU multiplies
+    # f32 operands at bf16 precision anyway (DEFAULT precision), so the
+    # span select is bit-identical; only the blended interpolation weights
+    # lose bits (<= 2^-9 relative, ~0.2% FS worst case — inside the same
+    # tolerance the f32 ulp of the absolute read position already costs).
+    # Measured (2048 x 16000, +-2 st): 18 -> 14 ms on-chip, because the
+    # [F, frame, window] one-hot generation is the VPU-bound term and bf16
+    # halves it.
+    cdt = jnp.bfloat16
+
     # all 32-aligned window-wide spans, as shifted views (no gather)
     blocks = x.reshape(n // blk, blk)
     xw = jnp.concatenate([blocks[k:n_windows + k]
@@ -139,8 +149,9 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
     start_blk = jnp.clip((f_start // blk).astype(jnp.int32), 0,
                          n_windows - 1)
     q = jnp.arange(n_windows, dtype=jnp.int32)
-    sel = (q[None, :] == start_blk[:, None]).astype(x.dtype)   # [F, NW]
-    spans = jnp.matmul(sel, xw, preferred_element_type=jnp.float32)
+    sel = (q[None, :] == start_blk[:, None]).astype(cdt)       # [F, NW]
+    spans = jnp.matmul(sel, xw.astype(cdt),
+                       preferred_element_type=jnp.float32)
 
     # absolute read positions and within-span offsets
     j = jnp.arange(frame, dtype=jnp.float32)
@@ -152,10 +163,11 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
 
     # one-hot interpolation weights contracted on the MXU (no gathers)
     k = jnp.arange(window, dtype=jnp.int32)
-    onehot_lo = (k[None, None, :] == a[:, :, None]).astype(x.dtype)
-    onehot_hi = (k[None, None, :] == (a + 1)[:, :, None]).astype(x.dtype)
-    weights = onehot_lo * (1.0 - w)[:, :, None] + onehot_hi * w[:, :, None]
-    out = jnp.einsum("fk,fjk->fj", spans, weights,
+    onehot_lo = (k[None, None, :] == a[:, :, None]).astype(cdt)
+    onehot_hi = (k[None, None, :] == (a + 1)[:, :, None]).astype(cdt)
+    weights = (onehot_lo * (1.0 - w)[:, :, None].astype(cdt)
+               + onehot_hi * w[:, :, None].astype(cdt))
+    out = jnp.einsum("fk,fjk->fj", spans.astype(cdt), weights,
                      preferred_element_type=jnp.float32)  # [F, frame]
     out = out.reshape(n)
     out = jnp.where(pos.reshape(n) <= n - 1, out, 0.0)

@@ -73,7 +73,7 @@ class TestPitch:
 
     def test_mxu_path_matches_numpy_interpolation(self):
         """The span-matmul formulation == explicit linear interpolation
-        (up to f32 ulp of the absolute read position)."""
+        (up to the bf16 operand rounding the TPU MXU applies anyway)."""
         rng = np.random.default_rng(3)
         x = rng.normal(size=3200).astype(np.float32) * 16000
         for st in (-4.0, -0.5, 1.7, 4.0):
@@ -86,8 +86,12 @@ class TestPitch:
             frac = (pos - lo).astype(np.float32)
             ref = x[lo] * (1 - frac) + x[np.clip(lo + 1, 0, 3199)] * frac
             ref = np.where(pos <= 3199, ref, 0.0)
-            # w rounds at the f32 ulp of pos (~2^-12 here) x sample delta
-            np.testing.assert_allclose(got, ref, atol=16000 * 2e-3)
+            # the interpolation weights round at bf16 (2^-9 relative — the
+            # same precision the TPU MXU multiplies f32 operands at), so
+            # the error bound is the adjacent-sample delta x 2^-9; on this
+            # white-noise signal deltas reach ~2x the peak amplitude
+            atol = float(np.abs(x).max()) * 2.0 ** -8
+            np.testing.assert_allclose(got, ref, atol=atol)
             # and the valid region must correlate near-perfectly
             v = pos <= 3199
             c = np.corrcoef(got[v], ref[v])[0, 1]
