@@ -192,7 +192,7 @@ def rir_convolve(x: jnp.ndarray, rir: jnp.ndarray,
     """
     n = x.shape[-1]
     r = rir / jnp.maximum(jnp.max(jnp.abs(rir)), EPS)
-    fft_len = _next_pow2(n + rir.shape[-1] - 1)
+    fft_len = _fft_len(n + rir.shape[-1] - 1)
     X = jnp.fft.rfft(x, fft_len)
     R = jnp.fft.rfft(r, fft_len)
     wet = jnp.fft.irfft(X * R, fft_len)[:n]
@@ -202,6 +202,23 @@ def rir_convolve(x: jnp.ndarray, rir: jnp.ndarray,
 
 def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
+
+
+def _fft_len(target: int) -> int:
+    """Smallest FAST TPU FFT length >= target: min of 2^a and 9*2^a.
+
+    XLA's TPU FFT cost is wildly non-monotonic in length. Measured on v5e
+    (2048 x 16000 + 1600-tap RIR; rfft+rfft+irfft per clip, ms/batch):
+    32768 -> 42.9 | 24576 (3*2^13) -> 47.8 | 20480 (5*2^12) -> 40.4 |
+    19200 -> 26.8 | 18432 (9*2^11) -> 23.4 | 18000 (2^4*3^2*5^3) -> 436(!).
+    And at 1024 x 32000: 65536 -> 44.5 | 49152 (3*2^14) -> 49.8 |
+    36864 (9*2^12) -> 37.9. Only the 9*2^a family reliably beats the next
+    pow2 (1.8x at the 1-s clip shape), so the chooser is restricted to
+    {2^a, 9*2^a}; any length >= target is mathematically equivalent.
+    """
+    pow2 = 1 << (int(target) - 1).bit_length()
+    nine = 9 << max(0, ((int(target) + 8) // 9 - 1).bit_length())
+    return min(pow2, nine)
 
 
 class AugmentParams(NamedTuple):

@@ -134,6 +134,34 @@ class TestRIR:
         out = A.rir_convolve(x, rir, jnp.asarray(True))
         assert _rms(out) == pytest.approx(_rms(np.asarray(x)), rel=0.05)
 
+    def test_matches_full_linear_convolution(self):
+        """The chosen FFT length (possibly 9*2^a, not pow2) must still give
+        the exact linear convolution on [0, n) — no circular wraparound."""
+        rng = np.random.default_rng(7)
+        n, r_len = 4000, 257
+        x = rng.normal(size=n).astype(np.float32) * 0.1
+        rir = rng.normal(size=r_len).astype(np.float32) \
+            * np.exp(-np.arange(r_len) / 40)
+        got = np.asarray(A.rir_convolve(jnp.asarray(x), jnp.asarray(rir),
+                                        jnp.asarray(True)))
+        rn = rir / np.abs(rir).max()
+        ref = np.convolve(x, rn)[:n]
+        ref = ref * (np.sqrt(np.mean(x * x) + A.EPS)
+                     / np.sqrt(np.mean(ref[:n] ** 2) + A.EPS))
+        np.testing.assert_allclose(got, ref, atol=5e-4)
+
+    def test_fft_len_chooser(self):
+        for target in (5, 9, 10, 100, 4256, 17599, 18432, 18433, 33599,
+                       49599, 100000):
+            length = A._fft_len(target)
+            assert length >= target
+            # member of {2^a, 9*2^a}
+            while length % 2 == 0:
+                length //= 2
+            assert length in (1, 9)
+            # never worse than the old next-pow2 policy
+            assert A._fft_len(target) <= A._next_pow2(target)
+
 
 class TestBatch:
     def test_shapes_dtype_and_determinism(self):
