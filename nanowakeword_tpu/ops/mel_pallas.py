@@ -97,6 +97,17 @@ value-fetch sync):
     v6's mistake was flattening the INPUT dots (which were never the
     cost) instead of the tail.
 
+  * INPUT-LAYOUT REMEASURE (round 3, continued): copy-only probes of the
+    shipped v10 store layout, same session: current [R,100,160] int16 in
+    -> 362 ns/clip (the round-3 684 figure was a ~8%-slow session AND the
+    v5-era per-row [.,32] stores), lane-aligned [R,125,128] -> 281,
+    [R,25,640] -> 327, flat [R,16000] -> Mosaic compile crash. So the
+    aligned-DMA ceiling is ~81 ns/clip below the current stream — but
+    mapping the hop dots onto 128-lane rows needs 4-phase x 2-piece basis
+    slabs (hop rows straddle lane-tile boundaries: u(t) = t + t//4),
+    ~8x the input-dot MXU work (~330 ns unhidden, vs ~40 ns today,
+    DMA-hidden) plus a changed K-accumulation order (bit-exactness lost,
+    v9 redux). Traffic ceiling < compute cost: PARKED with arithmetic.
   * ENCODER-CONV1 FUSION (analyzed, NOT attempted — round 3): folding the
     wide128 encoder's first conv (10x32 -> 128, stride 2) into the kernel
     epilogue is blocked by the same Mosaic data-movement wall as v7/v9.
