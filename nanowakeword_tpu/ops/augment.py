@@ -48,6 +48,42 @@ def _rms(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(x * x) + EPS)
 
 
+def _shift_right(x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Zero-filled right shift of a 1-D vector by a TRACED offset, exact.
+
+    `jnp.roll` with a traced shift is the single heaviest op in the
+    augmentation chain on TPU (measured 10.0 ms per vmapped 2048x16000
+    batch; a padded `dynamic_slice` lowers no better at 10.5 ms). This
+    two-stage one-hot contraction rides the MXU instead: decompose
+    offset = q*BLK + r, shift whole BLK-sample blocks with a [NB, NB]
+    one-hot dot, then shift the remainder r in-block with two [BLK, BLK]
+    banded one-hot dots against the block rows and their predecessors.
+    BLK=128 keeps the fine stage lane-dense: 4.2 ms on the same probe,
+    2.4x over roll (BLK=32 measures 5.1; a hi/lo bf16-split variant that
+    avoids HIGHEST precision is SLOWER — 4.7 — because of the extra
+    operand passes). HIGHEST-precision dots with one-hot {0,1} operands
+    reproduce the roll path bit-exactly.
+    """
+    n = x.shape[-1]
+    blk = 128 if n % 128 == 0 else (32 if n % 32 == 0 else 0)
+    if blk == 0:  # odd lengths: the original roll + front mask
+        idx = jnp.arange(n)
+        return jnp.where(idx >= offset, jnp.roll(x, offset), 0.0)
+    nb = n // blk
+    q, r = offset // blk, offset % blk
+    blocks = x.reshape(nb, blk)
+    ii = jnp.arange(nb)
+    sel = (ii[:, None] - q == ii[None, :]).astype(x.dtype)      # [out, in]
+    y = jax.lax.dot(sel, blocks, precision=jax.lax.Precision.HIGHEST)
+    z = jnp.concatenate([jnp.zeros((1, blk), x.dtype), y[:-1]])
+    a = jnp.arange(blk)
+    low = (a[:, None] + r == a[None, :]).astype(x.dtype)        # [in, out]
+    upp = (a[:, None] - blk + r == a[None, :]).astype(x.dtype)
+    out = (jax.lax.dot(y, low, precision=jax.lax.Precision.HIGHEST)
+           + jax.lax.dot(z, upp, precision=jax.lax.Precision.HIGHEST))
+    return out.reshape(n)
+
+
 def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
             snr_db: jnp.ndarray, has_bg: jnp.ndarray) -> jnp.ndarray:
     """Place fg into bg at `offset` with the given SNR (floats in [-1, 1]).
@@ -57,7 +93,6 @@ def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
     False, the foreground is placed at offset 0 on silence without SNR
     scaling (augment_clips.py:218-231).
     """
-    n = fg.shape[-1]
     fg_rms = _rms(fg)
     bg_rms = jnp.maximum(_rms(bg), MIN_BG_RMS)
     snr_linear = 10.0 ** (snr_db / 20.0)
@@ -68,18 +103,25 @@ def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
                       scale)
 
     offset = jnp.where(has_bg, offset, 0)
-    idx = jnp.arange(n)
-    # shift fg right by `offset` (roll is exact because fg is zero-padded
-    # beyond its content; content never wraps for valid offsets)
-    shifted = jnp.roll(fg, offset)
-    shifted = jnp.where(idx >= offset, shifted, 0.0)
+    # shift fg right by `offset`, zero-filled (fg is zero-padded beyond its
+    # content, so nothing real is dropped for valid offsets)
+    shifted = _shift_right(fg, offset)
     return jnp.where(has_bg, bg + shifted * scale, shifted)
 
 
-def pitch_window(max_abs_semitones: float, frame: int = 40) -> int:
-    """Source-span width needed for rates up to 2^(st/12), 32-aligned."""
-    span = int(np.ceil(frame * 2.0 ** (abs(max_abs_semitones) / 12.0))) + 34
-    return ((span + 31) // 32) * 32
+def pitch_window(max_abs_semitones: float, frame: int = 40,
+                 blk: int = 16) -> int:
+    """Source-span width needed for rates up to 2^(st/12), blk-aligned.
+
+    Content need is ceil(frame * max_rate) + 2 (linear interp reads one
+    sample past the end); block alignment of the span start wastes up to
+    blk-1 more. Smaller blk => tighter window => a smaller [F, frame,
+    window] interpolation-weight tensor, which is the routine's dominant
+    cost (see resample_pitch).
+    """
+    span = (int(np.ceil(frame * 2.0 ** (abs(max_abs_semitones) / 12.0)))
+            + 2 + (blk - 1))
+    return ((span + blk - 1) // blk) * blk
 
 
 def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
@@ -93,10 +135,11 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
     TPU formulation — zero element gathers (the TPU's weakest op; a direct
     `x[floor(i*rate)]` gather measures ~1.4 s per 2048x32000 batch, and even
     a 32-wide block-row `jnp.take` spends 92 of 148 ms in the gather):
-      1. materialise all 32-aligned `window`-wide source spans as overlapping
-         views of the `[n/32, 32]` reshape (window//32 static shifted slices
-         — the mel framing trick);
-      2. select each output frame's span with a one-hot [F, n/32] MXU matmul;
+      1. materialise all blk-aligned `window`-wide source spans as
+         overlapping views of the `[n/blk, blk]` reshape (window//blk
+         static shifted slices — the mel framing trick);
+      2. select each output frame's span with a one-hot [F, n/blk] MXU
+         matmul;
       3. interpolate inside the span with a linear-B-spline hat weight
          matrix contracted on the MXU (`einsum('fk,fjk->fj')`).
     Same linear interpolation as the direct gather; the weights round
@@ -106,16 +149,19 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
 
     `frame` is the output chunk size: smaller chunks need proportionally
     smaller spans, shrinking the [F, frame, window] weight tensor that
-    dominates HBM traffic. frame=40/window=96 measures 37.8 ms per
-    2048x16000 batch vs 148 ms for frame=160/window=256 and ~1400 ms for
-    the direct gather.
+    dominates the cost. Block size 16 tightens the span-start alignment
+    waste from 31 to 15 samples, cutting the ±2 st window from 96 to 64:
+    8.4 -> 6.4 ms per 2048x16000 batch (frame sweep at blk=16: frame 20 =
+    7.2, 40 = 6.4, 80 = 8.5; blk=8 loses it back on lane-thin operands,
+    7.3; frame=160/window=256 at the old blk=32 measured 148 ms and the
+    direct gather ~1400 ms).
 
-    `window` must cover frame*max_rate + 34 (`pitch_window()` computes it);
-    the default 128 covers ±12 semitones at frame=40. The augmentation chain
-    passes the tight static value derived from its pitch bounds.
+    `window` must cover frame*max_rate + 1 + blk (`pitch_window()` computes
+    it); the default 128 covers ±12 semitones at frame=40. The augmentation
+    chain passes the tight static value derived from its pitch bounds.
     """
     n = x.shape[-1]
-    blk = 32
+    blk = 16
     if n % (frame * blk // math.gcd(frame, blk)) != 0:
         # fall back to the direct formulation for odd lengths (rare paths)
         rate = 2.0 ** (semitones / 12.0)
@@ -378,11 +424,19 @@ def augment_batch(key, fg, bg, rir, fg_lens, has_bg, has_rir,
     Returns:
         [B, L] int16 augmented audio.
     """
-    fg = fg.astype(jnp.float32)
-    bg = bg.astype(jnp.float32)
-    scale = jnp.where(jnp.max(jnp.abs(fg)) > 2.0, 1.0 / 32768.0, 1.0)
-    fg = fg * scale
-    bg = bg * jnp.where(jnp.max(jnp.abs(bg)) > 2.0, 1.0 / 32768.0, 1.0)
+    # int16-scale detection: static by dtype for integer input (skips a
+    # full-batch |max| reduce over the [B, L] array); runtime only for
+    # float input, which may arrive either as [-1, 1] or int16-scale.
+    if jnp.issubdtype(fg.dtype, jnp.integer):
+        fg = fg.astype(jnp.float32) * (1.0 / 32768.0)
+    else:
+        fg = fg.astype(jnp.float32)
+        fg = fg * jnp.where(jnp.max(jnp.abs(fg)) > 2.0, 1.0 / 32768.0, 1.0)
+    if jnp.issubdtype(bg.dtype, jnp.integer):
+        bg = bg.astype(jnp.float32) * (1.0 / 32768.0)
+    else:
+        bg = bg.astype(jnp.float32)
+        bg = bg * jnp.where(jnp.max(jnp.abs(bg)) > 2.0, 1.0 / 32768.0, 1.0)
 
     keys = jax.random.split(key, fg.shape[0])
     out = jax.vmap(_augment_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(

@@ -148,6 +148,7 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
                            hardness_alpha: float = 0.05,
                            hardness_floor: float = 0.05,
                            sampling: str = "auto",
+                           compute_dtype: str = "float32",
                            mesh=None):
     """Build (state, hardness, key, features, labels, pools) ->
     (state, hardness, key, metrics [K, 6]).
@@ -162,6 +163,16 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
         raise ValueError("device_cache.sampling must be 'exact', 'approx' "
                          f"or 'auto', got {sampling!r}")
     loss_fn_name = loss_function.lower()
+    # bf16 mixed precision: see make_train_step's compute_dtype note —
+    # masters/loss/grads stay f32; apply-side casts only
+    cdt = (jnp.bfloat16 if str(compute_dtype).lower() in ("bfloat16", "bf16")
+           else None)
+
+    def _to_cdt(tree):
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(cdt)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -183,18 +194,23 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
                                                        batch_sharding)
 
         def loss_and_aux(params, batch_stats, rng):
-            variables = {"params": params}
+            if cdt is not None:
+                apply_params, apply_bs = _to_cdt(params), _to_cdt(batch_stats)
+                x_in = batch_x.astype(cdt)
+            else:
+                apply_params, apply_bs, x_in = params, batch_stats, batch_x
+            variables = {"params": apply_params}
             if batch_stats:
-                variables["batch_stats"] = batch_stats
+                variables["batch_stats"] = apply_bs
                 logits, updates = module.apply(
-                    variables, batch_x, deterministic=False,
+                    variables, x_in, deterministic=False,
                     rngs={"dropout": rng}, mutable=["batch_stats"])
             else:
-                logits = module.apply(variables, batch_x,
+                logits = module.apply(variables, x_in,
                                       deterministic=False,
                                       rngs={"dropout": rng})
                 updates = {}
-            logits = logits.reshape(-1)
+            logits = logits.reshape(-1).astype(jnp.float32)
             if loss_fn_name == "asymmetric_focal":
                 total, _ = losses.asymmetric_focal_loss(logits, batch_y,
                                                         loss_bias)
@@ -207,6 +223,10 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
                                                 logit_reg_margin)
             raw = losses.raw_bce(jax.lax.stop_gradient(logits), batch_y)
             new_bs = updates.get("batch_stats", batch_stats)
+            if cdt is not None and new_bs:
+                new_bs = jax.tree_util.tree_map(
+                    lambda old, new: new.astype(old.dtype),
+                    batch_stats, new_bs)
             return total, (raw, jax.lax.stop_gradient(logits), new_bs)
 
         import optax

