@@ -301,8 +301,8 @@ def bench_all(batch: int = 2048):
     flags = jax.device_put(np.ones(batch, bool))
     no_flags = jax.device_put(np.zeros(batch, bool))
 
-    def train_with_aug(i, st, ev, key_audio, bg_, rirs_, fg_lens_, flags_,
-                       no_flags_, labels_):
+    def train_with_aug(step_fn, i, st, ev, key_audio, bg_, rirs_, fg_lens_,
+                       flags_, no_flags_, labels_):
         # everything device-resident passes as ARGS: closure-captured arrays
         # get baked into the graph as constants and blow up remote compiles.
         # The step index MUST fold into the key: with a fixed key the whole
@@ -323,7 +323,7 @@ def bench_all(batch: int = 2048):
         mel = spec_augment(key, mel)
         emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
         f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
-        new_state, metrics = step(st, f, labels_)
+        new_state, metrics = step_fn(st, f, labels_)
         return new_state, metrics.loss
 
     state = jax.device_put(state)
@@ -332,50 +332,27 @@ def bench_all(batch: int = 2048):
     # step would charge a full ~25 ms tunnel RTT — ~30% of a 57 ms step —
     # to the training number; a real training loop never syncs per step)
     n_steps = 16
-
-    @jax.jit
-    def train_chain(st, *ta):
-        def body(i, carry):
-            st_, _loss = carry
-            return train_with_aug(i, st_, *ta)
-        return jax.lax.fori_loop(0, n_steps, body,
-                                 (st, jnp.float32(0.0)))
-
-    state2, loss = train_chain(state, *targs)
-    float(loss)  # compile + warm
-    t0 = time.perf_counter()
-    _, loss = train_chain(state2, *targs)
-    float(loss)  # one sync for the whole chain
-    _emit("crnn_train_aug_clips_per_s",
-          batch * n_steps / (time.perf_counter() - t0))
-
-    # same chain with the opt-in bf16 mixed-precision step
+    # opt-in bf16 mixed-precision variant of the same chain
     # (training.compute_dtype: bfloat16 — f32 masters, bf16 apply)
     step_bf16 = make_train_step(crnn.module, tx, donate=False, jit=False,
                                 compute_dtype="bfloat16")
 
-    @jax.jit
-    def train_chain_bf16(st, *ta):
-        def body(i, carry):
-            st_, _loss = carry
-            ev, a, b, r, fl, hb, hr, y = ta
-            key = jax.random.fold_in(jax.random.PRNGKey(0), i)
-            aug = augment_batch(key, a, b, r, fl, hb, hr, aug_params)
-            mel = mel_frontend_fused(aug, out_dtype=jnp.bfloat16)
-            mel = spec_augment(key, mel)
-            emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
-            f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
-            new_state, metrics = step_bf16(st_, f, y)
-            return new_state, metrics.loss
-        return jax.lax.fori_loop(0, n_steps, body, (st, jnp.float32(0.0)))
+    for metric, step_fn in (("crnn_train_aug_clips_per_s", step),
+                            ("crnn_train_aug_bf16_clips_per_s", step_bf16)):
+        @jax.jit
+        def train_chain(st, *ta, _sf=step_fn):
+            def body(i, carry):
+                st_, _loss = carry
+                return train_with_aug(_sf, i, st_, *ta)
+            return jax.lax.fori_loop(0, n_steps, body,
+                                     (st, jnp.float32(0.0)))
 
-    state3, loss = train_chain_bf16(state, *targs)
-    float(loss)
-    t0 = time.perf_counter()
-    _, loss = train_chain_bf16(state3, *targs)
-    float(loss)
-    _emit("crnn_train_aug_bf16_clips_per_s",
-          batch * n_steps / (time.perf_counter() - t0))
+        state2, loss = train_chain(state, *targs)
+        float(loss)  # compile + warm
+        t0 = time.perf_counter()
+        _, loss = train_chain(state2, *targs)
+        float(loss)  # one sync for the whole chain
+        _emit(metric, batch * n_steps / (time.perf_counter() - t0))
 
     # 4. BcResNet + QuartzNet feature-extraction + scoring throughput
     for mt in ("bcresnet", "quartznet"):

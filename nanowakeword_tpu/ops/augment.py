@@ -186,7 +186,7 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
     # halves it.
     cdt = jnp.bfloat16
 
-    # all 32-aligned window-wide spans, as shifted views (no gather)
+    # all blk-aligned window-wide spans, as shifted views (no gather)
     blocks = x.reshape(n // blk, blk)
     xw = jnp.concatenate([blocks[k:n_windows + k]
                           for k in range(window // blk)], axis=1)
@@ -427,16 +427,14 @@ def augment_batch(key, fg, bg, rir, fg_lens, has_bg, has_rir,
     # int16-scale detection: static by dtype for integer input (skips a
     # full-batch |max| reduce over the [B, L] array); runtime only for
     # float input, which may arrive either as [-1, 1] or int16-scale.
-    if jnp.issubdtype(fg.dtype, jnp.integer):
-        fg = fg.astype(jnp.float32) * (1.0 / 32768.0)
-    else:
-        fg = fg.astype(jnp.float32)
-        fg = fg * jnp.where(jnp.max(jnp.abs(fg)) > 2.0, 1.0 / 32768.0, 1.0)
-    if jnp.issubdtype(bg.dtype, jnp.integer):
-        bg = bg.astype(jnp.float32) * (1.0 / 32768.0)
-    else:
-        bg = bg.astype(jnp.float32)
-        bg = bg * jnp.where(jnp.max(jnp.abs(bg)) > 2.0, 1.0 / 32768.0, 1.0)
+    def _to_unit(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return x.astype(jnp.float32) * (1.0 / 32768.0)
+        x = x.astype(jnp.float32)
+        return x * jnp.where(jnp.max(jnp.abs(x)) > 2.0, 1.0 / 32768.0, 1.0)
+
+    fg = _to_unit(fg)
+    bg = _to_unit(bg)
 
     keys = jax.random.split(key, fg.shape[0])
     out = jax.vmap(_augment_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(

@@ -164,14 +164,11 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
                          f"or 'auto', got {sampling!r}")
     loss_fn_name = loss_function.lower()
     # bf16 mixed precision: see make_train_step's compute_dtype note —
-    # masters/loss/grads stay f32; apply-side casts only
-    cdt = (jnp.bfloat16 if str(compute_dtype).lower() in ("bfloat16", "bf16")
-           else None)
-
-    def _to_cdt(tree):
-        return jax.tree_util.tree_map(
-            lambda p: p.astype(cdt)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+    # masters/loss/grads/BatchNorm running stats stay f32; apply-side casts
+    # of params and features only
+    from nanowakeword_tpu.train.step import (cast_floating,
+                                             resolve_compute_dtype)
+    cdt = resolve_compute_dtype(compute_dtype)
 
     batch_sharding = None
     if mesh is not None:
@@ -195,13 +192,13 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
 
         def loss_and_aux(params, batch_stats, rng):
             if cdt is not None:
-                apply_params, apply_bs = _to_cdt(params), _to_cdt(batch_stats)
+                apply_params = cast_floating(params, cdt)
                 x_in = batch_x.astype(cdt)
             else:
-                apply_params, apply_bs, x_in = params, batch_stats, batch_x
+                apply_params, x_in = params, batch_x
             variables = {"params": apply_params}
             if batch_stats:
-                variables["batch_stats"] = apply_bs
+                variables["batch_stats"] = batch_stats
                 logits, updates = module.apply(
                     variables, x_in, deterministic=False,
                     rngs={"dropout": rng}, mutable=["batch_stats"])
@@ -223,10 +220,6 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
                                                 logit_reg_margin)
             raw = losses.raw_bce(jax.lax.stop_gradient(logits), batch_y)
             new_bs = updates.get("batch_stats", batch_stats)
-            if cdt is not None and new_bs:
-                new_bs = jax.tree_util.tree_map(
-                    lambda old, new: new.astype(old.dtype),
-                    batch_stats, new_bs)
             return total, (raw, jax.lax.stop_gradient(logits), new_bs)
 
         import optax

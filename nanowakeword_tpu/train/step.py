@@ -106,6 +106,31 @@ def create_train_state(module, variables, tx: optax.GradientTransformation,
     )
 
 
+def resolve_compute_dtype(compute_dtype) -> Optional[Any]:
+    """Map a config ``compute_dtype`` string to an apply-side cast dtype.
+
+    Returns jnp.bfloat16 for "bfloat16"/"bf16", None for full precision.
+    Shared by the host-loop and device-cached train steps so the alias set
+    and the mixed-precision casting rules live in one place.
+    """
+    return (jnp.bfloat16
+            if str(compute_dtype).lower() in ("bfloat16", "bf16") else None)
+
+
+def cast_floating(tree, dtype):
+    """Cast every floating-point leaf of ``tree`` to ``dtype``.
+
+    Integer/bool leaves (e.g. step counters) pass through untouched. Do NOT
+    apply this to BatchNorm running stats: they must stay float32 so the
+    momentum-0.99 EMA can accumulate sub-bf16-ulp increments (flax computes
+    batch statistics in f32 internally, so f32 stats are free in a bf16
+    forward pass).
+    """
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+
+
 def make_train_step(module, tx: optax.GradientTransformation, *,
                     loss_function: str = "bias_weighted",
                     loss_bias: float = 0.75,
@@ -120,33 +145,29 @@ def make_train_step(module, tx: optax.GradientTransformation, *,
 
     compute_dtype="bfloat16" runs the forward/backward in bf16 (mixed
     precision, the idiomatic TPU training mode): master params, optimizer
-    moments, loss, and gradients stay float32; params/features/batch-stats
-    are cast to bf16 around `module.apply` only, and BatchNorm running-stat
-    updates are cast back to the stored float32 (the per-step batch mean is
-    bf16-rounded, ~2^-8 relative — well under augmentation noise). Measured
-    on the config-3 CRNN (batch 2048): step 8.7 -> 5.4 ms; the full
-    augment+train chain 22.6 -> 19.4 ms (90.5k -> 105.6k clips/s).
+    moments, loss, and gradients stay float32; params/features are cast to
+    bf16 around `module.apply` only. BatchNorm running stats stay float32
+    end to end: flax computes batch statistics in f32 regardless of input
+    dtype, so feeding the f32 stats changes nothing in the forward pass
+    (verified bit-identical) while keeping the EMA update full-precision —
+    a bf16-rounded running mean would erase any per-step increment below
+    ~0.2% relative and freeze the stats off the true batch statistics.
+    Measured on the config-3 CRNN (batch 2048): step 8.7 -> 5.4 ms; the
+    full augment+train chain 22.6 -> 19.4 ms (90.5k -> 105.6k clips/s).
     """
     loss_fn_name = loss_function.lower()
     has_bn_sentinel = object()
-    cdt = (jnp.bfloat16 if str(compute_dtype).lower() in ("bfloat16", "bf16")
-           else None)
-
-    def _to_cdt(tree):
-        return jax.tree_util.tree_map(
-            lambda p: p.astype(cdt)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+    cdt = resolve_compute_dtype(compute_dtype)
 
     def loss_and_aux(params, batch_stats, rng, features, labels):
         if cdt is not None:
-            apply_params = _to_cdt(params)
-            apply_bs = _to_cdt(batch_stats)
+            apply_params = cast_floating(params, cdt)
             features = features.astype(cdt)
         else:
-            apply_params, apply_bs = params, batch_stats
+            apply_params = params
         variables = {"params": apply_params}
         if batch_stats:
-            variables["batch_stats"] = apply_bs
+            variables["batch_stats"] = batch_stats
             logits, updates = module.apply(
                 variables, features, deterministic=False,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
@@ -169,10 +190,6 @@ def make_train_step(module, tx: optax.GradientTransformation, *,
 
         raw = losses.raw_bce(jax.lax.stop_gradient(logits), labels)
         new_bs = updates.get("batch_stats", batch_stats)
-        if cdt is not None and new_bs:
-            # store running stats at the master (float32) dtype
-            new_bs = jax.tree_util.tree_map(
-                lambda old, new: new.astype(old.dtype), batch_stats, new_bs)
         return total, (raw, jax.lax.stop_gradient(logits), new_bs)
 
     def step_fn(state: TrainState, features, labels):

@@ -258,6 +258,33 @@ class TestMixedPrecision:
         assert abs(float(m32.loss) - float(m16.loss)) < 0.03, (
             float(m32.loss), float(m16.loss))
 
+    def test_bn_running_stats_ema_full_precision(self, rng):
+        """Running stats must EMA from the f32 master, not a bf16 round.
+
+        Regression: casting batch_stats to bf16 around apply re-derives each
+        EMA update from a bf16-rounded old value, erasing increments below
+        ~0.2% relative (the stats freeze off the true batch statistics).
+        Seed the running stats at 1000.3 (not bf16-representable; bf16 ulp
+        at 1000 is 4): one step must produce 0.99*1000.3 + 0.01*batch_stat,
+        not 0.99*bf16(1000.3)=0.99*1000.
+        """
+        model = self._crnn()
+        tx = build_optimizer(CFG, total_steps=10)
+        state = create_train_state(model.module, model.variables, tx)
+        seeded = jax.tree_util.tree_map(
+            lambda leaf: jnp.full_like(leaf, 1000.3), state.batch_stats)
+        state = state._replace(batch_stats=seeded)
+        step = make_train_step(model.module, tx, compute_dtype="bfloat16",
+                               donate=False)
+        feats, labels = _toy_batch(rng, n=32)
+        state, _ = step(state, feats, labels)
+        for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+            vals = np.asarray(leaf)
+            # batch mean/var of the bf16 activations are O(1); with the bug
+            # every value would be <= 0.99*1000 + 0.01*stat ~ 990.1
+            assert np.all(vals > 990.2), vals
+            assert np.all(vals < 990.5), vals
+
     def test_bf16_training_converges_like_f32(self, rng):
         feats, labels = _toy_batch(rng)
         finals = {}
