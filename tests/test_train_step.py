@@ -155,6 +155,52 @@ def test_cached_loop_data_parallel_matches_single_device(rng):
     assert (m8[:, 5] == 16).all()  # n_pos == positive quota every step
 
 
+def test_cached_loop_bf16_keeps_masters_and_bn_stats_f32(rng):
+    """Device-cached loop, compute_dtype=bfloat16: f32 masters and a
+    full-precision BatchNorm running-stat EMA (same contract as
+    make_train_step — the plumbing is shared but the loop body is not)."""
+    from nanowakeword_tpu.train.cached import (CachedData,
+                                               make_cached_train_loop)
+    from nanowakeword_tpu.train.step import create_train_state
+
+    cfg = dict(CFG, crnn_cnn_channels=[8, 16], crnn_rnn_type="gru")
+    model = Model(config=cfg, model_name="t", input_shape=INPUT_SHAPE,
+                  model_type="crnn", layer_dim=16, n_blocks=1,
+                  dropout_prob=0.0)
+    tx = build_optimizer(CFG, total_steps=12)
+
+    n = 128
+    feats, labels = _toy_batch(rng, n=n)
+    pos = jnp.asarray(np.flatnonzero(np.asarray(labels) == 1), jnp.int32)
+    neg = jnp.asarray(np.flatnonzero(np.asarray(labels) == 0), jnp.int32)
+    cached = CachedData(features=feats, labels=labels,
+                        hardness=jnp.full((n,), 0.05, jnp.float32),
+                        pools=(pos, neg), quotas=(8, 24),
+                        replace=(False, False))
+
+    state = create_train_state(model.module, model.variables, tx)
+    seeded = jax.tree_util.tree_map(
+        lambda leaf: jnp.full_like(leaf, 1000.3), state.batch_stats)
+    state = state._replace(batch_stats=seeded)
+
+    loop = make_cached_train_loop(
+        model.module, tx, quotas=cached.quotas, replace=cached.replace,
+        k_steps=1, compute_dtype="bfloat16")
+    state, _, _, metrics = loop(
+        state, jnp.array(cached.hardness), jax.random.PRNGKey(7),
+        cached.features, cached.labels, cached.pools)
+
+    assert np.isfinite(np.asarray(metrics)[:, 0]).all()
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+        assert leaf.dtype == jnp.float32
+        vals = np.asarray(leaf)
+        # one EMA step from 1000.3 with O(1) batch stats: must proceed
+        # from the f32 master (0.99*1000.3), not bf16(1000.3)=1000
+        assert np.all(vals > 990.2) and np.all(vals < 990.5), vals
+
+
 def test_tensor_parallel_shards_wide_kernels():
     mesh = M.make_mesh(8, model_parallel=2)
     params = {"dense": {"kernel": jnp.zeros((128, 512)),
