@@ -8,7 +8,26 @@ loop-invariant), to attribute the per-step cost.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_config3.py
 
-Round-3 measurements live at the bottom of this docstring once taken.
+Round-3 measurements (batch 2048 x 16000, 16 chained steps/sync, v5e-1),
+taken with this tool while landing each optimization:
+
+    pitch only                   6.4 ms/step   (blk=16 spans; was 8.4 at
+                                                blk=32, 9.7 pre-hat-weights,
+                                                14/18 pre-bf16 contraction)
+    mix_snr roll -> one-hot       4.2 ms        (was 10.0 with traced
+                                                jnp.roll)
+    augment (full, rir off)     ~11 ms
+    augment+mel (int16 feed)    ~12.2 ms        (mel 2.6 -> 1.2 ms once the
+                                                kernel reads int16 directly)
+    train step only (feats)      8.7 ms f32 / 5.4 ms bf16 (compute_dtype)
+    FULL config-3 step          22.3 ms f32 / 19.4 ms bf16
+                                = 91.8k / 105.6k clips/s
+
+bench.py --all reproduces the end numbers (crnn_train_aug[_bf16]_clips_per_s
+91.8k / 106.9k on the same session). Remaining cost order: pitch resample >
+train step > mix_snr > encoder+glue > mel; every pitch/mix_snr redesign
+candidate measured this round is recorded in ops/augment.py and the
+changelog (negatives included).
 """
 
 import time
