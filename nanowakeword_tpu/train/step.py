@@ -109,12 +109,22 @@ def create_train_state(module, variables, tx: optax.GradientTransformation,
 def resolve_compute_dtype(compute_dtype) -> Optional[Any]:
     """Map a config ``compute_dtype`` string to an apply-side cast dtype.
 
-    Returns jnp.bfloat16 for "bfloat16"/"bf16", None for full precision.
-    Shared by the host-loop and device-cached train steps so the alias set
-    and the mixed-precision casting rules live in one place.
+    Returns jnp.bfloat16 for "bfloat16"/"bf16", None for full precision
+    ("float32"/"f32"/"fp32"). Anything else is a config error — a silent
+    fallback would make a "float16" typo train in full precision while the
+    user believes mixed precision is on. Shared by the host-loop and
+    device-cached train steps so the alias set and the mixed-precision
+    casting rules live in one place.
     """
-    return (jnp.bfloat16
-            if str(compute_dtype).lower() in ("bfloat16", "bf16") else None)
+    name = str(compute_dtype).lower()
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float32", "f32", "fp32"):
+        return None
+    raise ValueError(
+        "training.compute_dtype must be 'float32' or 'bfloat16', got "
+        f"{compute_dtype!r} (f16/fp16 is not a TPU training dtype; use "
+        "bfloat16)")
 
 
 def cast_floating(tree, dtype):

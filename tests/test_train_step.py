@@ -331,6 +331,12 @@ class TestMixedPrecision:
             assert np.all(vals > 990.2), vals
             assert np.all(vals < 990.5), vals
 
+    def test_unknown_compute_dtype_rejected(self):
+        model = self._crnn()
+        tx = build_optimizer(CFG, total_steps=10)
+        with pytest.raises(ValueError, match="compute_dtype"):
+            make_train_step(model.module, tx, compute_dtype="float16")
+
     def test_bf16_training_converges_like_f32(self, rng):
         feats, labels = _toy_batch(rng)
         finals = {}
