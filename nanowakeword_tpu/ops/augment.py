@@ -109,15 +109,24 @@ def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
     return jnp.where(has_bg, bg + shifted * scale, shifted)
 
 
+# Span-start block alignment shared by pitch_window and resample_pitch:
+# the window must be a multiple of this and sized for starts aligned DOWN
+# to it, so the two functions must agree (16 measured best; 8 loses on
+# lane-thin operands, 32 wastes up to 31 samples of span).
+PITCH_SPAN_BLK = 16
+
+
 def pitch_window(max_abs_semitones: float, frame: int = 40,
-                 blk: int = 16) -> int:
+                 blk: int = PITCH_SPAN_BLK) -> int:
     """Source-span width needed for rates up to 2^(st/12), blk-aligned.
 
     Content need is ceil(frame * max_rate) + 2 (linear interp reads one
     sample past the end); block alignment of the span start wastes up to
     blk-1 more. Smaller blk => tighter window => a smaller [F, frame,
     window] interpolation-weight tensor, which is the routine's dominant
-    cost (see resample_pitch).
+    cost (see resample_pitch). `blk` must match resample_pitch's
+    PITCH_SPAN_BLK (non-default values are for window-size experiments
+    only).
     """
     span = (int(np.ceil(frame * 2.0 ** (abs(max_abs_semitones) / 12.0)))
             + 2 + (blk - 1))
@@ -161,9 +170,11 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
     chain passes the tight static value derived from its pitch bounds.
     """
     n = x.shape[-1]
-    blk = 16
-    if n % (frame * blk // math.gcd(frame, blk)) != 0:
-        # fall back to the direct formulation for odd lengths (rare paths)
+    blk = PITCH_SPAN_BLK
+    if (n % (frame * blk // math.gcd(frame, blk)) != 0
+            or n // blk - window // blk + 1 < 1):
+        # fall back to the direct formulation for odd lengths and for
+        # inputs shorter than one source window (rare paths)
         rate = 2.0 ** (semitones / 12.0)
         pos = jnp.arange(n) * rate
         lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanowakeword_tpu.train import loss as losses
-from nanowakeword_tpu.train.step import TrainState
+from nanowakeword_tpu.train.step import (TrainState, cast_floating,
+                                          resolve_compute_dtype)
 from nanowakeword_tpu.utils.logger import print_info
 
 HARDNESS_SMOOTHING = 0.75
@@ -166,8 +167,6 @@ def make_cached_train_loop(module, tx, *, quotas: Tuple[int, ...],
     # bf16 mixed precision: see make_train_step's compute_dtype note —
     # masters/loss/grads/BatchNorm running stats stay f32; apply-side casts
     # of params and features only
-    from nanowakeword_tpu.train.step import (cast_floating,
-                                             resolve_compute_dtype)
     cdt = resolve_compute_dtype(compute_dtype)
 
     batch_sharding = None

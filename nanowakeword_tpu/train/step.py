@@ -166,7 +166,6 @@ def make_train_step(module, tx: optax.GradientTransformation, *,
     full augment+train chain 22.6 -> 19.4 ms (90.5k -> 105.6k clips/s).
     """
     loss_fn_name = loss_function.lower()
-    has_bn_sentinel = object()
     cdt = resolve_compute_dtype(compute_dtype)
 
     def loss_and_aux(params, batch_stats, rng, features, labels):

@@ -118,6 +118,23 @@ class TestPitch:
         out = A.resample_pitch(x, jnp.asarray(2.0), jnp.asarray(False))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
 
+    def test_input_shorter_than_window_falls_back(self):
+        """n a multiple of lcm(frame, blk) but < window must not take the
+        MXU span path (n_windows would be non-positive) — regression for
+        the blk 32->16 change that let n=80 through the length gate."""
+        rng = np.random.default_rng(7)
+        for n in (80, 112):
+            x = rng.normal(size=n).astype(np.float32) * 8000
+            got = np.asarray(A.resample_pitch(
+                jnp.asarray(x), jnp.asarray(-3.0), jnp.asarray(True)))
+            rate = np.float32(2.0 ** (np.float32(-3.0) / np.float32(12.0)))
+            pos = (np.arange(n, dtype=np.float32) * rate).astype(np.float32)
+            lo = np.clip(np.floor(pos).astype(int), 0, n - 1)
+            frac = (pos - lo).astype(np.float32)
+            ref = x[lo] * (1 - frac) + x[np.clip(lo + 1, 0, n - 1)] * frac
+            ref = np.where(pos <= n - 1, ref, 0.0)
+            np.testing.assert_allclose(got, ref, atol=8000 * 2e-3)
+
 
 class TestRIR:
     def test_convolution_smears_impulse(self):

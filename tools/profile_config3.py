@@ -7,6 +7,8 @@ iterations per value fetch, fresh fold_in key per iteration so nothing is
 loop-invariant), to attribute the per-step cost.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_config3.py
+       (add --bf16 for the compute_dtype=bfloat16 train-step variant; the
+       augmentation/mel stages are dtype-independent)
 
 Round-3 measurements (batch 2048 x 16000, 16 chained steps/sync, v5e-1),
 taken with this tool while landing each optimization:
@@ -30,6 +32,7 @@ candidate measured this round is recorded in ops/augment.py and the
 changelog (negatives included).
 """
 
+import sys
 import time
 
 import numpy as np
@@ -114,7 +117,10 @@ def main():
                           "lr_scheduler_type": "onecycle"}, 1000)
     state = jax.device_put(create_train_state(crnn.module, crnn.variables,
                                               tx))
-    step = make_train_step(crnn.module, tx, donate=False, jit=False)
+    compute_dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+    print(f"train-step compute_dtype: {compute_dtype}")
+    step = make_train_step(crnn.module, tx, donate=False, jit=False,
+                           compute_dtype=compute_dtype)
 
     def key_of(i):
         return jax.random.fold_in(jax.random.PRNGKey(0), i)
