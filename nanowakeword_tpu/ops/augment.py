@@ -171,8 +171,8 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
     """
     n = x.shape[-1]
     blk = PITCH_SPAN_BLK
-    if (n % (frame * blk // math.gcd(frame, blk)) != 0
-            or n // blk - window // blk + 1 < 1):
+    n_windows = n // blk - window // blk + 1
+    if n % (frame * blk // math.gcd(frame, blk)) != 0 or n_windows < 1:
         # fall back to the direct formulation for odd lengths and for
         # inputs shorter than one source window (rare paths)
         rate = 2.0 ** (semitones / 12.0)
@@ -184,7 +184,6 @@ def resample_pitch(x: jnp.ndarray, semitones: jnp.ndarray,
         return jnp.where(apply, out, x)
 
     n_frames = n // frame
-    n_windows = n // blk - window // blk + 1
     rate = 2.0 ** (semitones / 12.0)
 
     # Operand dtype for the two MXU contractions: bf16. The MXU multiplies
