@@ -270,15 +270,15 @@ class _Translator:
 
     def p_slice(self, eqn):
         strides = eqn.params.get("strides")
-        if strides is not None and any(int(s) != 1 for s in strides):
-            raise ExportUnsupported("strided slice")
         starts = [int(s) for s in eqn.params["start_indices"]]
         ends = [int(e) for e in eqn.params["limit_indices"]]
+        steps = ([int(s) for s in strides] if strides is not None
+                 else [1] * len(starts))
         in_shape = self._shape(eqn.invars[0])
         # batch axis: full-range slices stay full-range at any batch size
         for i, (s, e, d) in enumerate(zip(starts, ends, in_shape)):
             if self.dynamic and d == _SENTINEL_BATCH:
-                if s != 0 or e != d:
+                if s != 0 or e != d or steps[i] != 1:
                     raise ExportUnsupported("slicing the batch axis")
                 ends[i] = 2**31 - 1
         axes = list(range(len(starts)))
@@ -286,21 +286,115 @@ class _Translator:
             self.read(eqn.invars[0]),
             self.g.init_tensor("starts", np.asarray(starts, np.int64)),
             self.g.init_tensor("ends", np.asarray(ends, np.int64)),
-            self.g.init_tensor("axes", np.asarray(axes, np.int64))])
+            self.g.init_tensor("axes", np.asarray(axes, np.int64)),
+            self.g.init_tensor("steps", np.asarray(steps, np.int64))])
         self.write(eqn.outvars[0], out)
 
     def p_pad(self, eqn):
         cfg = eqn.params["padding_config"]
-        if any(int(i) != 0 for _, _, i in cfg):
-            raise ExportUnsupported("interior (dilated) padding")
-        if any(int(lo) < 0 or int(hi) < 0 for lo, hi, _ in cfg):
-            raise ExportUnsupported("negative padding")
-        pads = ([int(lo) for lo, _, _ in cfg]
-                + [int(hi) for _, hi, _ in cfg])
-        out = self.g.add("Pad", [
-            self.read(eqn.invars[0]),
-            self.g.init_tensor("pads", np.asarray(pads, np.int64)),
-            self.read(eqn.invars[1])])    # pad value (scalar)
+        in_shape = list(self._shape(eqn.invars[0]))
+        x = self.read(eqn.invars[0])
+        pad_value = self.read(eqn.invars[1])    # scalar
+
+        # interior (dilated) padding: per axis, open a trailing size-1 axis,
+        # pad it to (1 + i), flatten back, and trim the i values that landed
+        # after the last element — d -> d + (d-1)*i, the lax.pad contract.
+        for ax, (_, _, interior) in enumerate(cfg):
+            i = int(interior)
+            if i == 0:
+                continue
+            d = int(in_shape[ax])
+            if self.dynamic and in_shape[ax] == _SENTINEL_BATCH:
+                raise ExportUnsupported("interior padding on the batch axis")
+            expanded = in_shape[:ax + 1] + [1] + in_shape[ax + 1:]
+            x = self.g.add("Reshape", [x, self.g.init_tensor(
+                "shape", self._target_shape(expanded))])
+            pads = [0] * (2 * len(expanded))
+            pads[len(expanded) + ax + 1] = i      # hi pad of the new axis
+            x = self.g.add("Pad", [
+                x, self.g.init_tensor("pads", np.asarray(pads, np.int64)),
+                pad_value])
+            in_shape[ax] = d * (1 + i)
+            x = self.g.add("Reshape", [x, self.g.init_tensor(
+                "shape", self._target_shape(in_shape))])
+            x = self.g.add("Slice", [
+                x, self.g.init_tensor("starts", np.asarray([0], np.int64)),
+                self.g.init_tensor("ends",
+                                   np.asarray([d + (d - 1) * i], np.int64)),
+                self.g.init_tensor("axes", np.asarray([ax], np.int64))])
+            in_shape[ax] = d + (d - 1) * i
+
+        # edge padding: non-negative parts via Pad, negative parts (lax.pad
+        # trimming) via a final Slice
+        los = [int(lo) for lo, _, _ in cfg]
+        his = [int(hi) for _, hi, _ in cfg]
+        if any(lo > 0 or hi > 0 for lo, hi in zip(los, his)):
+            pads = ([max(lo, 0) for lo in los] + [max(hi, 0) for hi in his])
+            x = self.g.add("Pad", [
+                x, self.g.init_tensor("pads", np.asarray(pads, np.int64)),
+                pad_value])
+        if any(lo < 0 or hi < 0 for lo, hi in zip(los, his)):
+            starts, ends, axes = [], [], []
+            for ax, (lo, hi) in enumerate(zip(los, his)):
+                if lo < 0 or hi < 0:
+                    if self.dynamic and in_shape[ax] == _SENTINEL_BATCH:
+                        raise ExportUnsupported(
+                            "negative padding on the batch axis")
+                    d = in_shape[ax] + max(lo, 0) + max(hi, 0)
+                    starts.append(-min(lo, 0))
+                    ends.append(d + min(hi, 0))
+                    axes.append(ax)
+            x = self.g.add("Slice", [
+                x, self.g.init_tensor("starts", np.asarray(starts, np.int64)),
+                self.g.init_tensor("ends", np.asarray(ends, np.int64)),
+                self.g.init_tensor("axes", np.asarray(axes, np.int64))])
+        self.write(eqn.outvars[0], x)
+
+    def p_gather(self, eqn):
+        """`jnp.take`/int-array indexing along ONE axis -> ONNX Gather.
+
+        Recognised pattern (what jnp.take(x, idx_1d, axis=k) traces to):
+        indices [N, 1], start_index_map == collapsed_slice_dims == (k,),
+        slice_sizes == operand shape with 1 at k, offset_dims == all output
+        positions except k. General lax.gather stays unsupported."""
+        dn = eqn.params["dimension_numbers"]
+        operand, indices = eqn.invars
+        op_shape = self._shape(operand)
+        idx_shape = self._shape(indices)
+        slice_sizes = tuple(int(s) for s in eqn.params["slice_sizes"])
+        if (len(dn.start_index_map) != 1
+                or dn.collapsed_slice_dims != dn.start_index_map
+                or dn.operand_batching_dims
+                or len(idx_shape) != 2 or idx_shape[1] != 1):
+            raise ExportUnsupported(
+                "general lax.gather (only single-axis jnp.take lowers)")
+        k = int(dn.start_index_map[0])
+        want_sizes = tuple(1 if i == k else int(d)
+                           for i, d in enumerate(op_shape))
+        want_offsets = tuple(i for i in range(len(op_shape)) if i != k)
+        if slice_sizes != want_sizes or tuple(dn.offset_dims) != want_offsets:
+            raise ExportUnsupported(
+                "general lax.gather (only single-axis jnp.take lowers)")
+        if self.dynamic and op_shape[k] == _SENTINEL_BATCH:
+            raise ExportUnsupported("gather along the batch axis")
+        idx = self.g.add("Reshape", [
+            self.read(indices),
+            self.g.init_tensor("shape", np.asarray([-1], np.int64))])
+        idx = self.g.add("Cast", [idx], to=P.INT64)
+        out = self.g.add("Gather", [self.read(operand), idx], axis=k)
+        # ONNX Gather output dtype follows data (float); graph stays f32
+        self.write(eqn.outvars[0], out)
+
+    def p_argmax(self, eqn):
+        axes = eqn.params["axes"]
+        if len(axes) != 1:
+            raise ExportUnsupported("argmax over multiple axes")
+        ax = int(axes[0])
+        if self.dynamic and self._shape(eqn.invars[0])[ax] == _SENTINEL_BATCH:
+            raise ExportUnsupported("argmax along the batch axis")
+        out = self.g.add("ArgMax", [self.read(eqn.invars[0])],
+                         axis=ax, keepdims=0)
+        out = self.g.add("Cast", [out], to=P.FLOAT)
         self.write(eqn.outvars[0], out)
 
     def p_convert_element_type(self, eqn):
@@ -362,6 +456,75 @@ class _Translator:
             out = self.g.add(op, [self.read(eqn.invars[0])],
                              axes=axes, keepdims=0)
         self.write(eqn.outvars[0], out)
+
+    def _reduce_window(self, eqn, mode):
+        """lax.reduce_window (nn.avg_pool / nn.max_pool) -> ONNX pooling.
+
+        Windowed axes move behind the remaining (batch/feature) axes, which
+        flatten into [N, C]; MaxPool pads with -inf and AveragePool with
+        count_include_pad=1 pads with 0 — exactly the reduce-window init
+        values, so sum = AveragePool * window_size."""
+        wd = [int(w) for w in eqn.params["window_dimensions"]]
+        ws = [int(s) for s in eqn.params["window_strides"]]
+        pad = [(int(lo), int(hi)) for lo, hi in eqn.params["padding"]]
+        if any(int(d) != 1 for d in eqn.params.get("base_dilation",
+                                                   [1] * len(wd))) or \
+           any(int(d) != 1 for d in eqn.params.get("window_dilation",
+                                                   [1] * len(wd))):
+            raise ExportUnsupported("dilated reduce_window")
+        in_shape = self._shape(eqn.invars[0])
+        spatial = [i for i in range(len(wd))
+                   if wd[i] > 1 or ws[i] > 1 or pad[i] != (0, 0)]
+        x = self.read(eqn.invars[0])
+        if not spatial:
+            self.write(eqn.outvars[0], self.g.add("Identity", [x]))
+            return
+        if len(spatial) > 2:
+            raise ExportUnsupported("reduce_window over >2 axes")
+        if self.dynamic and any(in_shape[i] == _SENTINEL_BATCH
+                                for i in spatial):
+            raise ExportUnsupported("pooling the batch axis")
+        keep = [i for i in range(len(wd)) if i not in spatial]
+        if not keep:
+            raise ExportUnsupported("reduce_window over every axis")
+        perm = keep + spatial
+        if perm != list(range(len(wd))):
+            x = self.g.add("Transpose", [x], perm=perm)
+        flat = [-1 if (self.dynamic
+                       and in_shape[keep[0]] == _SENTINEL_BATCH
+                       and keep[0] == 0) else int(in_shape[keep[0]]),
+                int(np.prod([in_shape[i] for i in keep[1:]], dtype=np.int64))
+                ] + [int(in_shape[i]) for i in spatial]
+        x = self.g.add("Reshape", [x, self.g.init_tensor(
+            "shape", np.asarray(flat, np.int64))])
+        kernel = [wd[i] for i in spatial]
+        strides = [ws[i] for i in spatial]
+        pads = ([pad[i][0] for i in spatial] + [pad[i][1] for i in spatial])
+        if mode == "max":
+            x = self.g.add("MaxPool", [x], kernel_shape=kernel,
+                           strides=strides, pads=pads)
+        else:
+            x = self.g.add("AveragePool", [x], kernel_shape=kernel,
+                           strides=strides, pads=pads, count_include_pad=1)
+            x = self.g.add("Mul", [x, self.g.init_tensor(
+                "wsize", np.float32(np.prod(kernel)))])
+        out_spatial = [
+            (in_shape[i] + pad[i][0] + pad[i][1] - wd[i]) // ws[i] + 1
+            for i in spatial]
+        unflat = [flat[0]] + [int(in_shape[i]) for i in keep[1:]] \
+            + out_spatial
+        x = self.g.add("Reshape", [x, self.g.init_tensor(
+            "shape", np.asarray(unflat, np.int64))])
+        if perm != list(range(len(wd))):
+            inv = [perm.index(i) for i in range(len(perm))]
+            x = self.g.add("Transpose", [x], perm=inv)
+        self.write(eqn.outvars[0], x)
+
+    def p_reduce_window_sum(self, eqn):
+        self._reduce_window(eqn, "sum")
+
+    def p_reduce_window_max(self, eqn):
+        self._reduce_window(eqn, "max")
 
     def p_reduce_sum(self, eqn):
         self._reduce(eqn, "ReduceSum")
@@ -475,6 +638,108 @@ _ELEMENTWISE = {
 }
 
 
+def build_onnx_from_fn(fn, input_specs, output_names, name: str, *,
+                       dynamic_batch: bool = True, validate: bool = True,
+                       batch_sizes=(1, 3), rtol: float = 1e-4,
+                       atol: float = 1e-5, input_scale: float = 1.0,
+                       doc: str = "") -> bytes:
+    """Trace an arbitrary pure JAX function and lower its jaxpr to ONNX.
+
+    The general entry behind `build_onnx_from_module` — used for graphs that
+    are not classifier modules (e.g. the feature frontend, export/frontend.py).
+
+    Args:
+        fn:            pure function of len(input_specs) float32 arrays.
+        input_specs:   [(input_name, shape)] — shape EXCLUDES the batch dim
+                       when dynamic_batch (it is prepended symbolically),
+                       and is the full static shape otherwise.
+        output_names:  names for fn's outputs (tuple outputs supported).
+        dynamic_batch: emit a batch-symbolic graph (leading dim
+                       "batch_size" on every input/output).
+        validate:      run the bundled numpy evaluator against fn on random
+                       inputs (at each of batch_sizes when dynamic) and
+                       raise ExportUnsupported on any mismatch — there is NO
+                       fixed-batch fallback here; callers wanting one use
+                       build_onnx_from_module.
+
+    Returns: serialized ModelProto bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def build(batch):
+        shapes = [((batch,) + tuple(s)) if dynamic_batch else tuple(s)
+                  for _, s in input_specs]
+        closed = jax.make_jaxpr(fn)(
+            *[jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes])
+        g = _Builder()
+        tr = _Translator(g, dynamic_batch=dynamic_batch)
+        jaxpr = closed.jaxpr
+        for var, (in_name, _) in zip(jaxpr.invars, input_specs):
+            tr.write(var, in_name)
+        tr.run(jaxpr, closed.consts)
+        if len(jaxpr.outvars) != len(output_names):
+            raise ExportUnsupported(
+                f"fn returns {len(jaxpr.outvars)} outputs, "
+                f"{len(output_names)} names given")
+        out_infos = []
+        for var, out_name in zip(jaxpr.outvars, output_names):
+            g.nodes.append(P.node("Identity", [tr.read(var)], [out_name],
+                                  name=f"n_{out_name}"))
+            shape = tuple(var.aval.shape)
+            if dynamic_batch:
+                if not shape or shape[0] != _SENTINEL_BATCH:
+                    raise ExportUnsupported(
+                        f"output '{out_name}' lost the batch dimension")
+                shape = ("batch_size",) + tuple(int(d) for d in shape[1:])
+            out_infos.append(P.value_info(out_name, shape))
+        batch_dim = ("batch_size",) if dynamic_batch else ()
+        graph = P.graph(
+            g.nodes, name=name,
+            inputs=[P.value_info(n, batch_dim + tuple(s))
+                    for n, s in input_specs],
+            outputs=out_infos, initializers=g.inits,
+            doc=doc or "nanowakeword_tpu function export (jaxpr lowering)")
+        return P.model(graph, opset=17,
+                       doc="exported by nanowakeword_tpu.export.jaxpr_onnx")
+
+    def check(data: bytes, batch) -> Optional[str]:
+        from nanowakeword_tpu.export import onnx_eval
+        rng = np.random.default_rng(0)
+        feeds = {}
+        args = []
+        for in_name, s in input_specs:
+            shape = ((batch,) + tuple(s)) if dynamic_batch else tuple(s)
+            x = rng.normal(0, input_scale, shape).astype(np.float32)
+            feeds[in_name] = x
+            args.append(jnp.asarray(x))
+        want = fn(*args)
+        want = [np.asarray(w) for w in
+                (want if isinstance(want, (tuple, list)) else (want,))]
+        try:
+            got = onnx_eval.run(data, feeds)
+        except Exception as e:  # noqa: BLE001
+            return f"evaluator error: {e}"
+        for out_name, w in zip(output_names, want):
+            gv = got[out_name]
+            if gv.shape != w.shape:
+                return (f"'{out_name}' shape mismatch: graph {gv.shape} vs "
+                        f"fn {w.shape}")
+            if not np.allclose(gv, w, rtol=rtol, atol=atol):
+                return (f"'{out_name}' numeric mismatch: max abs diff "
+                        f"{np.abs(gv - w).max():.3e}")
+        return None
+
+    data = build(_SENTINEL_BATCH if dynamic_batch else None)
+    if validate:
+        for batch in (batch_sizes if dynamic_batch else (None,)):
+            reason = check(data, batch)
+            if reason is not None:
+                raise ExportUnsupported(
+                    f"function export '{name}' failed validation: {reason}")
+    return data
+
+
 def build_onnx_from_module(module, variables, input_shape, n_classes: int,
                            name: str = "custom",
                            validate: bool = True) -> bytes:
@@ -515,27 +780,47 @@ def build_onnx_from_module(module, variables, input_shape, n_classes: int,
         return P.model(graph, opset=17,
                        doc="exported by nanowakeword_tpu.export.jaxpr_onnx")
 
-    def check(data: bytes, batch: int) -> bool:
+    def check(data: bytes, batch: int) -> Optional[str]:
+        """None when the graph matches the live module; else the reason."""
         from nanowakeword_tpu.export import onnx_eval
         x = np.random.default_rng(0).normal(
             0, 1, (batch,) + tuple(input_shape)).astype(np.float32)
         want = np.asarray(fn(jnp.asarray(x)))
         try:
             got = onnx_eval.run(data, {"features": x})["score"]
-        except Exception:  # noqa: BLE001 — any failure means "not valid"
-            return False
-        return (got.shape == want.shape
-                and np.allclose(got, want, rtol=1e-4, atol=1e-5))
+        except Exception as e:  # noqa: BLE001 — any failure means "not valid"
+            return f"evaluator error at batch {batch}: {e}"
+        if got.shape != want.shape:
+            return (f"shape mismatch at batch {batch}: graph {got.shape} "
+                    f"vs module {want.shape}")
+        if not np.allclose(got, want, rtol=1e-4, atol=1e-5):
+            return (f"numeric mismatch at batch {batch}: max abs diff "
+                    f"{np.abs(got - want).max():.3e}")
+        return None
 
+    # Try the dynamic-batch graph first; if it can't be built or doesn't
+    # validate, fall back to a fixed batch_size=1 trace — LOUDLY, naming the
+    # constraint that broke (the reference always declares a dynamic batch,
+    # _export/onnx.py:74-82, so a silent fixed-batch artifact would surprise
+    # its users).
+    reason = None
     try:
         data = build(_SENTINEL_BATCH, dynamic=True)
-        if not validate or (check(data, 1) and check(data, 3)):
+        if not validate:
             return data
-    except ExportUnsupported:
-        pass
-    # fallback: fixed batch 1 (graph constants may bake the batch size)
+        reason = check(data, 1) or check(data, 3)
+        if reason is None:
+            return data
+    except ExportUnsupported as e:
+        reason = f"unsupported for dynamic batch: {e}"
+    from nanowakeword_tpu.utils.logger import print_warning
+    print_warning(
+        "Custom-module ONNX export falls back to a FIXED batch_size=1 "
+        f"graph. Reason: {reason}")
     data = build(1, dynamic=False)
-    if validate and not check(data, 1):
-        raise ExportUnsupported(
-            "custom module export failed numeric validation")
+    if validate:
+        fixed_reason = check(data, 1)
+        if fixed_reason is not None:
+            raise ExportUnsupported(
+                f"custom module export failed validation: {fixed_reason}")
     return data

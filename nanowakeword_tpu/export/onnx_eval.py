@@ -62,18 +62,33 @@ def _conv(x, w, b, pads, strides, dilations, group):
     return _conv2d(x, w, b, pads, strides, dilations, group)
 
 
-def _maxpool2d(x, kernel, strides):
+def _pool(x, kernel, strides, pads=None, mode="max"):
+    """ONNX MaxPool / AveragePool(count_include_pad=1) over 1 or 2 spatial
+    dims of [N, C, spatial...]."""
+    rank = x.ndim - 2
+    if pads and any(int(p) for p in pads):
+        fill = -np.inf if mode == "max" else 0.0
+        width = [(0, 0), (0, 0)] + [(int(pads[i]), int(pads[rank + i]))
+                                    for i in range(rank)]
+        x = np.pad(x, width, constant_values=fill)
+    squeeze = rank == 1
+    if squeeze:                       # route 1-D pooling through the 2-D path
+        x = x[..., None]
+        kernel, strides = list(kernel) + [1], list(strides) + [1]
     n, c, h, w = x.shape
     kh, kw = kernel
     sh, sw = strides
     oh = (h - kh) // sh + 1
     ow = (w - kw) // sw + 1
-    out = np.full((n, c, oh, ow), -np.inf, x.dtype)
+    init = -np.inf if mode == "max" else 0.0
+    out = np.full((n, c, oh, ow), init, x.dtype)
     for i in range(kh):
         for j in range(kw):
-            out = np.maximum(
-                out, x[:, :, i:i + oh * sh:sh, j:j + ow * sw:sw])
-    return out
+            window = x[:, :, i:i + oh * sh:sh, j:j + ow * sw:sw]
+            out = np.maximum(out, window) if mode == "max" else out + window
+    if mode != "max":
+        out = out / (kh * kw)
+    return out[..., 0] if squeeze else out
 
 
 def _sigmoid(x):
@@ -231,8 +246,13 @@ def run(model: Union[str, bytes, P.ParsedModel],
                       a.get("dilations", [1] * rank),
                       a.get("group", 1))
         elif op == "MaxPool":
-            y = _maxpool2d(x[0], a["kernel_shape"],
-                           a.get("strides", a["kernel_shape"]))
+            y = _pool(x[0], a["kernel_shape"],
+                      a.get("strides", a["kernel_shape"]),
+                      a.get("pads"), mode="max")
+        elif op == "AveragePool":
+            y = _pool(x[0], a["kernel_shape"],
+                      a.get("strides", a["kernel_shape"]),
+                      a.get("pads"), mode="avg")
         elif op == "BatchNormalization":
             scale, bias, mean, var = x[1], x[2], x[3], x[4]
             eps = a.get("epsilon", 1e-5)
@@ -316,10 +336,20 @@ def run(model: Union[str, bytes, P.ParsedModel],
         elif op == "Slice":
             data, starts, ends = x[0], x[1], x[2]
             axes = x[3] if len(x) > 3 else np.arange(len(starts))
+            steps = x[4] if len(x) > 4 else np.ones(len(starts), np.int64)
             sl = [slice(None)] * data.ndim
-            for s, e, ax in zip(starts, ends, axes):
-                sl[int(ax)] = slice(int(s), None if e >= 2**31 else int(e))
+            for s, e, ax, st in zip(starts, ends, axes, steps):
+                sl[int(ax)] = slice(int(s), None if e >= 2**31 else int(e),
+                                    int(st))
             y = data[tuple(sl)]
+        elif op == "Gather":
+            y = np.take(x[0], x[1].astype(np.int64),
+                        axis=int(a.get("axis", 0)))
+        elif op == "ArgMax":
+            ax = int(a.get("axis", 0))
+            y = np.argmax(x[0], axis=ax)
+            if int(a.get("keepdims", 1)):
+                y = np.expand_dims(y, ax)
         elif op == "MatMul":
             y = x[0] @ x[1]
         elif op == "Softmax":

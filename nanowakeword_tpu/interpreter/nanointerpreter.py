@@ -511,6 +511,21 @@ class NanoInterpreter:
         if self.vad_threshold > 0:
             from nanowakeword_tpu.interpreter.vad import VAD
             self.vad = VAD()
+        onnx_frontend = kwargs.pop("onnx_frontend", None)
+        if onnx_frontend is not None:
+            # alternative feature frontend: the exported `_mel_stream` /
+            # `_embedding` ONNX graph pair driven by the numpy evaluator —
+            # the reference's edge architecture (mel+embedding ARE onnx
+            # models, _registry.py:34-47). Accepts (mel_path, emb_path) or
+            # a path prefix such as "<dir>/<model_name>".
+            from nanowakeword_tpu.export.frontend import OnnxStreamingFrontend
+            if isinstance(onnx_frontend, (tuple, list)):
+                mel_path, emb_path = onnx_frontend
+            else:
+                mel_path = f"{onnx_frontend}_mel_stream.onnx"
+                emb_path = f"{onnx_frontend}_embedding.onnx"
+            self.preprocessor = OnnxStreamingFrontend(mel_path, emb_path)
+            return
         self.preprocessor = AudioFeatures(**kwargs)
 
     def _setup_components_no_preprocessor(self, **kwargs):
@@ -535,6 +550,8 @@ class NanoInterpreter:
         """
         if self.preprocessor is None or not self.models:
             return None
+        if not hasattr(self.preprocessor, "_stream_step_impl"):
+            return None     # non-jax frontend (e.g. OnnxStreamingFrontend)
         sessions = list(self.models.items())
         if any(not isinstance(s, _LocalSession) for _, s in sessions):
             return None

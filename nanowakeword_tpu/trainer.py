@@ -219,6 +219,14 @@ def _train_end_to_end(config, e2e_cfg, args, model_name, project_dir,
                  model_name, model_save_dir, encoder_variables=encoder_vars)
     export_params_msgpack(trained_classifier, model_name, model_save_dir)
     try:
+        from nanowakeword_tpu.export.frontend import export_frontend_onnx
+        export_frontend_onnx(encoder_vars, clip_samples, model_name,
+                             model_save_dir)
+        print_info("Feature-frontend ONNX graphs (trained encoder) "
+                   "exported.")
+    except Exception as e:  # noqa: BLE001
+        print_warning(f"Frontend ONNX export failed (non-fatal): {e}")
+    try:
         export_custom_model(trained_classifier, (context_frames, 96), config,
                             model_name, model_save_dir)
     except Exception as e:  # noqa: BLE001
@@ -384,6 +392,23 @@ def train(cli_args=None):
                                   model_name, model_save_dir)
             except Exception as e:  # noqa: BLE001
                 print_warning(f"ONNX export failed (non-fatal): {e}")
+
+        # feature frontend beside every export: raw audio -> [B, T, 96] +
+        # the streaming mel/embedding pair, so the exported classifier
+        # deploys end-to-end without JAX (the reference's onnxruntime-only
+        # edge mode; its mel/embedding stages ARE onnx models,
+        # interpreter/models/_registry.py:34-47)
+        try:
+            from nanowakeword_tpu.export.frontend import export_frontend_onnx
+            clip_samples = int(config.get(
+                "total_length",
+                ((input_shape[0] - 1) * 8 + 76 + 4) * 160))
+            export_frontend_onnx(encoder_vars, clip_samples, model_name,
+                                 model_save_dir)
+            print_info("Feature-frontend ONNX graphs exported "
+                       "(_frontend / _mel_stream / _embedding).")
+        except Exception as e:  # noqa: BLE001
+            print_warning(f"Frontend ONNX export failed (non-fatal): {e}")
 
         dist_cfg = config.get("distillation", {})
         should_distill = bool(dist_cfg.get("enabled", True)) or args.distill
