@@ -113,13 +113,25 @@ def _babble(rng, words, n, n_voices=4):
     return out / (peak + 1e-9)
 
 
+def _mic_floor(rng, n):
+    """Microphone-style noise floor for synthetic eval audio: real capture
+    chains never emit exact digital zeros, and the training distribution's
+    background RMS is floored at MIN_BG_RMS=0.005 (reference parity,
+    augment_clips.py:62). Digital-silence gaps are out-of-distribution for
+    ANY model trained on this pipeline — round-4 measurement: a converged
+    model scores ~1.0 on 'phrase then exact zeros' windows — so eval
+    streams carry a floor drawn around the trained-in minimum."""
+    floor_rms = rng.uniform(0.003, 0.02)
+    return _pink_noise(rng, n).astype(np.float32) * floor_rms * 3.0
+
+
 def _speech_stream(rng, words, seconds, synth_fn=None):
     """Concatenate random phrases into one `seconds`-long stream."""
     from nanowakeword_tpu.data.generator.tts import (cleanup_filter,
                                                      formant_synthesize)
     synth = synth_fn or formant_synthesize
     n = seconds * SR
-    out = np.zeros(n, np.float32)
+    out = _mic_floor(rng, n)
     pos = int(rng.uniform(0, 0.4) * SR)
     while pos < n - SR // 2:
         seed = int(rng.integers(2**31))
@@ -127,7 +139,7 @@ def _speech_stream(rng, words, seconds, synth_fn=None):
                   seed=seed, f0=float(rng.uniform(90, 220)))
         a = cleanup_filter(a)
         end = min(pos + len(a), n)
-        out[pos:end] = a[:end - pos]
+        out[pos:end] += a[:end - pos]
         pos = end + int(rng.uniform(0.1, 0.6) * SR)
     return out
 
@@ -147,7 +159,7 @@ def _positive_eval_clip(rng, seed, resonator=False):
                                f0=float(rng.uniform(90, 220)))
     a = cleanup_filter(a)
     n = 3 * SR
-    out = rng.standard_normal(n).astype(np.float32) * 1e-4
+    out = _mic_floor(rng, n)
     offset = int(rng.uniform(0.9, max(0.91, 3.0 - len(a) / SR - 0.1)) * SR)
     end = min(offset + len(a), n)
     out[offset:end] += a[:end - offset]
@@ -274,7 +286,7 @@ def stage_prep(force=False):
                                                          formant_synthesize)
         for i in range(EVAL_ADV_FILES):
             n = STREAM_SECONDS * SR
-            out = np.zeros(n, np.float32)
+            out = _mic_floor(rng, n)
             pos = int(rng.uniform(0, 0.4) * SR)
             while pos < n - SR // 2:
                 txt = texts[int(rng.integers(len(texts)))]
@@ -282,7 +294,7 @@ def stage_prep(force=False):
                     txt, seed=int(rng.integers(2**31)),
                     f0=float(rng.uniform(90, 220))))
                 end = min(pos + len(a), n)
-                out[pos:end] = a[:end - pos]
+                out[pos:end] += a[:end - pos]
                 pos = end + int(rng.uniform(0.15, 0.7) * SR)
             _write_wav(adv_dir / f"adv_{i:05d}.wav", out)
         jobs.append(f"eval/negative_adversarial: {EVAL_ADV_FILES} x "
@@ -311,13 +323,18 @@ def stage_prep(force=False):
           + ("; ".join(jobs) if jobs else "everything cached"))
 
 
-def _generic_phrases(n, seed):
+def _generic_phrases(n, seed, min_words=1, max_words=5):
     """Random dictionary-word phrases — generic speech with no relation to
     the wake phrase (train negatives; the eval streams draw from the same
-    distribution with disjoint seeds)."""
+    distribution with disjoint seeds). Longer word counts give DENSE
+    back-to-back speech clips: round-4 finding — a model trained only on
+    short single-phrase negatives false-alarms on continuous speech
+    streams, because 16-frame windows full of dense speech are outside its
+    negative training distribution."""
     rng = np.random.default_rng(seed)
     words = _words()
-    return [_dictionary_phrase(rng, words, int(rng.integers(1, 5)))
+    return [_dictionary_phrase(rng, words,
+                               int(rng.integers(min_words, max_words)))
             for _ in range(n)]
 
 
@@ -376,16 +393,33 @@ def write_config():
              "tts_settings": {"seed": 40}},
             {"name": "generic_speech", "enabled": True,
              "output_dir": str(DATA / "neg_generic"),
-             "num_samples": 2500,
+             "num_samples": 2000,
              "text_source": {"type": "from_list",
                              "phrases": _generic_phrases(500, seed=50)},
              "tts_settings": {"seed": 50}},
+            {"name": "dense_speech", "enabled": True,
+             "output_dir": str(DATA / "neg_dense"),
+             "num_samples": 2500,
+             "text_source": {"type": "from_list",
+                             "phrases": _generic_phrases(
+                                 600, seed=55, min_words=4, max_words=10)},
+             "tts_settings": {"seed": 55}},
             {"name": "negatives_val", "enabled": True,
              "output_dir": str(DATA / "negative_val"),
-             "num_samples": 500,
+             "num_samples": 400,
+             "file_prefix": "pa",
              "text_source": {"type": "phoneme_adversarial",
                              "base_phrase": PHRASE, "min_distance": 0.35},
              "tts_settings": {"seed": 60000}},
+            {"name": "negatives_val_dense", "enabled": True,
+             "output_dir": str(DATA / "negative_val"),
+             "num_samples": 300,
+             "file_prefix": "dn",
+             "text_source": {"type": "from_list",
+                             "phrases": _generic_phrases(
+                                 150, seed=70000, min_words=4,
+                                 max_words=10)},
+             "tts_settings": {"seed": 70000}},
         ],
         "feature_generation_manifest": {
             "positive_features": {
@@ -408,6 +442,11 @@ def write_config():
                 "output_filename": "generic_features.npy",
                 "use_background_noise": True, "use_rir": True,
                 "augmentation_rounds": 4},
+            "dense_features": {
+                "input_audio_dirs": [str(DATA / "neg_dense")],
+                "output_filename": "dense_features.npy",
+                "use_background_noise": True, "use_rir": True,
+                "augmentation_rounds": 4},
             "noise_features": {
                 "input_audio_dirs": [str(DATA / "noise_train")],
                 "output_filename": "noise_features.npy",
@@ -424,14 +463,15 @@ def write_config():
                 "use_background_noise": True,
                 "augmentation_rounds": 1},
         },
-        "batch_composition": {"t": 96, "pa": 48, "wa": 32, "gen": 48,
-                              "nz": 32},
+        "batch_composition": {"t": 96, "pa": 40, "wa": 24, "gen": 32,
+                              "dn": 40, "nz": 24},
         "feature_manifest": {
             "targets": {"t": f"{features}/positive_features.npy"},
             "negatives": {
                 "pa": f"{features}/phoneme_adv_features.npy",
                 "wa": f"{features}/word_adv_features.npy",
                 "gen": f"{features}/generic_features.npy",
+                "dn": f"{features}/dense_features.npy",
                 "nz": f"{features}/noise_features.npy"},
             "targets_val": {"tv": f"{features}/positive_val_features.npy"},
             "negatives_val": {
