@@ -65,7 +65,7 @@ def build_frontend_onnx(encoder_variables, clip_samples: int,
 
     return build_onnx_from_fn(
         fn, [("audio", (int(clip_samples),))], ["features"],
-        f"{name}_frontend",
+        f"{name}_frontend", input_scale=8000.0, atol=1e-4,
         doc="nanowakeword_tpu feature frontend: int16-scale audio -> "
             "[B, T, 96] speech embeddings (mel + encoder)")
 
@@ -84,6 +84,7 @@ def build_mel_stream_onnx(name: str = "frontend") -> bytes:
     return build_onnx_from_fn(
         fn, [("mel_tail", (MEL_TAIL,)), ("chunk", (CHUNK,))],
         ["new_tail", "frames"], f"{name}_mel_stream", dynamic_batch=False,
+        input_scale=8000.0, atol=1e-4,
         doc="nanowakeword_tpu streaming mel step: carry mel_tail between "
             "calls; chunk is 1280 int16-scale samples -> 8 mel frames")
 
@@ -101,7 +102,7 @@ def build_embedding_onnx(encoder_variables,
 
     return build_onnx_from_fn(
         fn, [("mel_window", (EMB_WINDOW, N_MELS))], ["embedding"],
-        f"{name}_embedding", dynamic_batch=False,
+        f"{name}_embedding", dynamic_batch=False, atol=1e-4,
         doc="nanowakeword_tpu embedding window: the last 76 mel frames -> "
             "one 96-dim speech embedding (stride 8 frames = 80 ms)")
 

@@ -73,14 +73,22 @@ def _shift_right(x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
     q, r = offset // blk, offset % blk
     blocks = x.reshape(nb, blk)
     ii = jnp.arange(nb)
+    # Per-operand MXU precision: the DATA side gets the exact 3-term bf16
+    # decomposition (HIGHEST); the one-hot side is {0,1}, exact in ONE bf16
+    # term (DEFAULT). Result is bit-identical to HIGHEST-both (each output
+    # is a plain selection of one f32 input, and d1+d2+d3 re-sums exactly
+    # in the f32 accumulator) at 1/3 of the MXU passes: 4.2 -> 2.9 ms on
+    # the 2048 x 16000 mix_snr probe (tools/profile_config3.py).
+    p_data_onehot = (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
+    p_onehot_data = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
     sel = (ii[:, None] - q == ii[None, :]).astype(x.dtype)      # [out, in]
-    y = jax.lax.dot(sel, blocks, precision=jax.lax.Precision.HIGHEST)
+    y = jax.lax.dot(sel, blocks, precision=p_onehot_data)
     z = jnp.concatenate([jnp.zeros((1, blk), x.dtype), y[:-1]])
     a = jnp.arange(blk)
     low = (a[:, None] + r == a[None, :]).astype(x.dtype)        # [in, out]
     upp = (a[:, None] - blk + r == a[None, :]).astype(x.dtype)
-    out = (jax.lax.dot(y, low, precision=jax.lax.Precision.HIGHEST)
-           + jax.lax.dot(z, upp, precision=jax.lax.Precision.HIGHEST))
+    out = (jax.lax.dot(y, low, precision=p_data_onehot)
+           + jax.lax.dot(z, upp, precision=p_data_onehot))
     return out.reshape(n)
 
 

@@ -47,20 +47,29 @@ def get_limited_files(folder_path, max_samples):
     return files
 
 
-def max_stream_score(interpreter, audio, key):
-    """Stream a clip; return the maximum score seen."""
+def stream_scores(interpreter, audio, key):
+    """Stream a clip chunk-by-chunk; return the full per-chunk score trace.
+
+    One score per 1280-sample (80 ms) chunk — the raw trace the
+    interpreter's patience/debounce post-filters operate on
+    (nanointerpreter.py `_apply_post_processing`)."""
     if audio is None:
-        return 0.0
+        return np.zeros(0, np.float32)
     interpreter.reset()
-    best = 0.0
+    out = []
     for i in range(0, len(audio), CHUNK_SIZE):
         chunk = audio[i:i + CHUNK_SIZE]
         if len(chunk) < CHUNK_SIZE:
             chunk = np.concatenate(
                 [chunk, np.zeros(CHUNK_SIZE - len(chunk), chunk.dtype)])
-        best = max(best, interpreter.predict(
-            chunk.astype(np.int16)).get(key, 0.0))
-    return best
+        out.append(interpreter.predict(chunk.astype(np.int16)).get(key, 0.0))
+    return np.asarray(out, np.float32)
+
+
+def max_stream_score(interpreter, audio, key):
+    """Stream a clip; return the maximum score seen."""
+    scores = stream_scores(interpreter, audio, key)
+    return float(scores.max()) if len(scores) else 0.0
 
 
 def main():

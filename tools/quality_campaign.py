@@ -55,6 +55,12 @@ PHRASE = "hey nano"
 MODEL_NAME = "hey_nano_crnn"
 SR = 16000
 THRESHOLD = 0.90
+# Production operating point: the interpreter's patience post-filter
+# (predict(patience={key: N})) requires N consecutive 80-ms frames >=
+# threshold before a detection fires. Raw per-frame max (patience 1) is
+# the reference evaluator's semantics; deployments use patience to kill
+# single-frame spikes. Both are reported.
+PATIENCE = 3
 
 # Speaker-seed bases. A "speaker" is a (seed, f0) draw inside
 # generate_samples / formant_synthesize; disjoint bases give disjoint
@@ -357,6 +363,12 @@ def write_config():
         "activation_function": "relu",
         "steps": 20000,
         "stabilization_steps": 1000,
+        # no early stopping: the 1000-sample val error saturates by ~3k
+        # steps (round-4 v2 run stopped at 5500 with avg pos logit 0.81 —
+        # underfit positives, median held-out max-score 0.989); the best
+        # checkpoint should be selected over the FULL budget
+        "early_stopping_patience": 0,
+        "val_early_stopping_patience": 1000000,
         "optimizer_type": "adamw",
         "learning_rate_max": 0.0015,
         "lr_scheduler_type": "onecycle",
@@ -513,27 +525,41 @@ def stage_pipeline(stages="GtTd"):
 # evaluate (CPU backend — edge-device conditions)
 # --------------------------------------------------------------------------
 
-def _eval_dir(interpreter, key, folder, desc, collect_scores=False):
-    """Per-file max-score streaming, exactly the
-    evaluate_model_with_audio.py semantics (chunk 1280, reset per file)."""
+def _eval_dir(interpreter, key, folder, desc):
+    """Per-file score-trace streaming, exactly the
+    evaluate_model_with_audio.py semantics (chunk 1280, reset per file).
+    Returns (traces [files, chunks], seconds) — max over axis 1 is the
+    reference evaluator's per-file score."""
     from test_model.evaluate_model_with_audio import (get_limited_files,
-                                                      max_stream_score)
+                                                      stream_scores)
 
     from nanowakeword_tpu.utils.audio_io import load_audio
     files = get_limited_files(str(folder), None)
-    scores, seconds = [], 0.0
+    traces, seconds = [], 0.0
     t0 = time.time()
     for i, f in enumerate(files):
         audio = load_audio(f)
         if audio is None:
             continue
         seconds += len(audio) / SR
-        scores.append(max_stream_score(interpreter, audio, key))
+        traces.append(stream_scores(interpreter, audio, key))
         if (i + 1) % 50 == 0:
             rate = (i + 1) / (time.time() - t0)
             print(f"  [{desc}] {i + 1}/{len(files)} files "
                   f"({rate:.1f} files/s)", flush=True)
-    return np.asarray(scores), seconds
+    return np.stack(traces) if traces else np.zeros((0, 1), np.float32), \
+        seconds
+
+
+def _patience_detect(traces, threshold, patience):
+    """Per-file detection under the interpreter's patience post-filter
+    (nanointerpreter.py `_apply_post_processing`): a hit fires only when
+    the last `patience` consecutive 80-ms scores are ALL >= threshold."""
+    hit = traces >= threshold
+    run = np.ones_like(hit[:, patience - 1:], dtype=bool)
+    for k in range(patience):
+        run &= hit[:, k:k + run.shape[1]]
+    return run.any(axis=1)
 
 
 def stage_evaluate(model_suffix="", out_name="eval"):
@@ -551,7 +577,8 @@ def stage_evaluate(model_suffix="", out_name="eval"):
     print(f"[evaluate] model={model_path.name} key={key} "
           f"threshold={THRESHOLD} backend=cpu")
 
-    results = {"model": model_path.name, "threshold": THRESHOLD}
+    results = {"model": model_path.name, "threshold": THRESHOLD,
+               "patience": PATIENCE}
     sets = {
         "positive": EVAL / "positive",
         "positive_resonator": EVAL / "positive_resonator",
@@ -559,25 +586,38 @@ def stage_evaluate(model_suffix="", out_name="eval"):
         "negative_adversarial": EVAL / "negative_adversarial",
         "noise": EVAL / "noise",
     }
+    trace_dir = WORK / f"traces{model_suffix}"
+    trace_dir.mkdir(parents=True, exist_ok=True)
     for name, folder in sets.items():
-        scores, seconds = _eval_dir(interpreter, key, folder, name)
+        traces, seconds = _eval_dir(interpreter, key, folder, name)
+        np.save(trace_dir / f"{name}.npy", traces)
+        scores = traces.max(axis=1) if traces.size else np.zeros(0)
         hours = seconds / 3600.0
         if name.startswith("positive"):
             detected = int((scores >= THRESHOLD).sum())
+            det_pat = int(_patience_detect(traces, THRESHOLD,
+                                           PATIENCE).sum())
             results[name] = {
                 "files": len(scores), "hours": round(hours, 3),
                 "detected": detected,
                 "miss_rate_pct": round(
                     100.0 * (1 - detected / max(len(scores), 1)), 2),
+                "miss_rate_pct_patience": round(
+                    100.0 * (1 - det_pat / max(len(scores), 1)), 2),
                 "median_max_score": round(float(np.median(scores)), 4)
                 if len(scores) else None,
             }
         else:
             alarms = int((scores > THRESHOLD).sum())
+            alarms_pat = int(_patience_detect(traces, THRESHOLD,
+                                              PATIENCE).sum())
             results[name] = {
                 "files": len(scores), "hours": round(hours, 3),
                 "false_alarm_files": alarms,
                 "fa_per_hour": round(alarms / max(hours, 1e-9), 3),
+                "false_alarm_files_patience": alarms_pat,
+                "fa_per_hour_patience": round(
+                    alarms_pat / max(hours, 1e-9), 3),
                 "max_score_seen": round(float(scores.max()), 4)
                 if len(scores) else None,
             }
