@@ -213,6 +213,113 @@ class TestBatch:
         assert ((peaks >= 0.45) & (peaks <= 1.0)).all()
 
 
+class TestGroupedPitch:
+    """Rate-quantized grouped pitch (resample_pitch_grouped + the
+    augment_batch fast path around it)."""
+
+    def test_matches_per_clip_path_bit_exact(self):
+        """Each group's output must equal resample_pitch at the same grid
+        rate — the grouped restructure only shares the weight/selector
+        generation across the batch, the contractions are unchanged."""
+        B, n, R = 32, 3200, 8
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 0.3, (B, n)).astype(np.float32))
+        grid = A.pitch_grid(-2.0, 2.0, R)
+        perm = jnp.asarray(np.random.default_rng(1).permutation(R),
+                           jnp.int32)
+        apply = jnp.asarray(rng.random(B) < 0.7)
+        w = A.pitch_window(2.0)
+        out = np.asarray(A.resample_pitch_grouped(x, grid, perm, apply,
+                                                  window=w))
+        G = B // R
+        for b in range(B):
+            ref = A.resample_pitch(x[b], jnp.float32(grid[int(perm[b // G])]),
+                                   apply[b], window=w)
+            np.testing.assert_array_equal(out[b], np.asarray(ref))
+
+    def test_apply_false_passthrough(self):
+        B, n, R = 16, 3200, 8
+        x = jnp.asarray(np.random.default_rng(2).normal(
+            0, 0.3, (B, n)).astype(np.float32))
+        out = A.resample_pitch_grouped(
+            x, A.pitch_grid(-2.0, 2.0, R), jnp.arange(R),
+            jnp.zeros(B, bool), window=A.pitch_window(2.0))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def _batch_args(self, B=16, L=8000, seed=3):
+        rng = np.random.default_rng(seed)
+        fg = rng.integers(-8000, 8000, (B, L)).astype(np.float32)
+        bg = rng.integers(-2000, 2000, (B, L)).astype(np.float32)
+        return (fg, bg, np.zeros((B, 1600), np.float32),
+                np.full(B, L, np.int32), np.ones(B, bool),
+                np.zeros(B, bool))
+
+    def test_batch_ungated_clips_identical_across_paths(self):
+        """The pre/pitch/post decomposition must draw bit-identical
+        randomness to the fused chain: clips whose pitch gate is OFF come
+        out bit-equal whether pitch_grid is on or off — and gated-on clips
+        must differ (proof the grouped path actually engaged rather than
+        silently falling back)."""
+        args = self._batch_args()
+        key = jax.random.PRNGKey(11)
+        p_grid = A.AugmentParams.from_settings({"rir_prob": 0.0,
+                                                "pitch_grid_rates": 16})
+        p_cont = A.AugmentParams.from_settings({"rir_prob": 0.0,
+                                                "pitch_grid_rates": 0})
+        out_g = np.asarray(A.augment_batch(key, *args, p_grid))
+        out_c = np.asarray(A.augment_batch(key, *args, p_cont))
+        keys = jax.random.split(key, args[0].shape[0])
+        gate = np.asarray(jax.vmap(A._pitch_gate, in_axes=(0, None))(
+            keys, p_grid))
+        assert gate.any() and not gate.all()   # seed chosen to cover both
+        np.testing.assert_array_equal(out_g[~gate], out_c[~gate])
+        assert (out_g[gate] != out_c[gate]).any(axis=1).all()
+
+    def test_batch_falls_back_when_not_divisible(self):
+        """B not divisible by the grid size -> bit-identical to the
+        continuous path (the fast-path gate must not change semantics)."""
+        args = self._batch_args(B=12)
+        key = jax.random.PRNGKey(5)
+        out_g = np.asarray(A.augment_batch(
+            key, *args,
+            A.AugmentParams.from_settings({"rir_prob": 0.0,
+                                           "pitch_grid_rates": 16})))
+        out_c = np.asarray(A.augment_batch(
+            key, *args,
+            A.AugmentParams.from_settings({"rir_prob": 0.0,
+                                           "pitch_grid_rates": 0})))
+        np.testing.assert_array_equal(out_g, out_c)
+
+    def test_rate_stratification(self):
+        """With pitch_prob=1 every batch position group gets one grid rate;
+        a pure tone's zero-crossing rate per group must scale with it."""
+        B, L, R = 16, 8000, 4
+        t = np.arange(L) / 16000.0
+        fg = np.tile((np.sin(2 * np.pi * 440 * t) * 8000).astype(np.float32),
+                     (B, 1))
+        key = jax.random.PRNGKey(9)
+        params = A.AugmentParams.from_settings(
+            {"rir_prob": 0.0, "gain_prob": 0.0, "pitch_prob": 1.0,
+             "min_pitch_semitones": -6.0, "max_pitch_semitones": 6.0,
+             "pitch_grid_rates": R, "min_volume_augmentation": 0.8,
+             "max_volume_augmentation": 0.8})
+        out = np.asarray(A.augment_batch(
+            key, fg, np.zeros_like(fg), np.zeros((B, 100), np.float32),
+            np.full(B, L, np.int32), np.ones(B, bool), np.zeros(B, bool),
+            params)).astype(np.float32)
+        grid = A.pitch_grid(-6.0, 6.0, R)
+        perm = np.asarray(jax.random.permutation(
+            jax.random.fold_in(key, 106), R))
+        G = B // R
+        for g in range(R):
+            rate = 2.0 ** (grid[perm[g]] / 12.0)
+            m = int(L / max(rate, 1.0) * 0.9)   # stay inside valid region
+            zc = np.mean([(np.diff(np.sign(out[b, :m])) != 0).sum() / m
+                          for b in range(g * G, (g + 1) * G)])
+            want = 2 * 440 * rate / 16000.0
+            assert zc == pytest.approx(want, rel=0.08), (g, zc, want)
+
+
 class TestChannelRobustness:
     """mu-law codec round-trip + random band-limit (encoder-pretraining
     channel-robustness pair; both off by default)."""

@@ -46,8 +46,9 @@ from nanowakeword_tpu.models.embedding import (build_encoder,
                                                infer_encoder_arch)
 from nanowakeword_tpu.models.model import Model
 from nanowakeword_tpu.ops.augment import (AugmentParams, augment_batch,
-                                          resample_pitch, pitch_window,
-                                          spec_augment)
+                                          pitch_grid, resample_pitch,
+                                          resample_pitch_grouped,
+                                          pitch_window, spec_augment)
 from nanowakeword_tpu.ops.mel_pallas import mel_frontend_fused
 from nanowakeword_tpu.train.optim import build_optimizer
 from nanowakeword_tpu.train.step import create_train_state, make_train_step
@@ -136,12 +137,32 @@ def main():
         return acc + out[0, 0]
     timed_chain("pitch only", pitch_body, jnp.float32(0.0), (audio,))
 
+    grid16 = pitch_grid(-2.0, 2.0, 16)
+    def pitch_grp_body(i, acc, a):
+        k = key_of(i)
+        perm = jax.random.permutation(k, 16)
+        out = resample_pitch_grouped(a.astype(jnp.float32), grid16, perm,
+                                     jnp.ones(BATCH, bool), window=window)
+        return acc + out[0, 0]
+    timed_chain("pitch only (grouped R=16)", pitch_grp_body,
+                jnp.float32(0.0), (audio,))
+
     # --- cumulative prefixes of the config-3 chain ---
     def aug_body(i, acc, a, b, r, fl, hb, hr):
         k = key_of(i)
         out = augment_batch(k, a, b, r, fl, hb, hr, aug_params)
         return acc + out[0, 0].astype(jnp.float32)
     timed_chain("augment", aug_body, jnp.float32(0.0),
+                (audio, bg, rirs, fg_lens, flags, no_flags))
+
+    aug_cont = AugmentParams.from_settings({"rir_prob": 0.0,
+                                            "pitch_grid_rates": 0})
+    def aug_cont_body(i, acc, a, b, r, fl, hb, hr):
+        k = key_of(i)
+        out = augment_batch(k, a, b, r, fl, hb, hr, aug_cont)
+        return acc + out[0, 0].astype(jnp.float32)
+    timed_chain("augment (continuous pitch)", aug_cont_body,
+                jnp.float32(0.0),
                 (audio, bg, rirs, fg_lens, flags, no_flags))
 
     def aug_np_body(i, acc, a, b, r, fl, hb, hr):
