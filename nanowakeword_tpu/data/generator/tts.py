@@ -347,6 +347,129 @@ def resonator_synthesize(text: str, length_scale: float = 1.0,
     return audio.astype(np.float32)
 
 
+def harmonic_synthesize(text: str, length_scale: float = 1.0,
+                        noise_scale: float = 0.667, f0: float = 160.0,
+                        seed: int = 0, vtl_scale: float = 1.0) -> np.ndarray:
+    """Third synthesis channel: sinusoidal-model (additive-harmonic)
+    rendering — McAulay-Quatieri-style.
+
+    Deliberately DISJOINT from both other channels in every controllable
+    dimension (round-4 corpus-scaling ladder, channel axis): the voiced
+    source is a bank of pure sinusoids at k*f0 whose per-harmonic
+    amplitudes are sampled from a Gaussian-hump spectral envelope — there
+    is NO filter in the signal path at all (formant_synthesize runs a
+    sawtooth through Butterworth band-passes; resonator_synthesize runs
+    glottal pulses through cascade 2nd-order resonators). Unvoiced sound
+    is frame-wise FFT-shaped noise under the same envelope (overlap-add),
+    not a filtered stream. Phone-to-phone motion is LINEAR interpolation
+    between targets at 10 ms hops (the others hard-cut or moving-average).
+    Same phone inventory/lexicon (g2p.text_to_phones), so word identity is
+    preserved across channels — only the rendering changes.
+    """
+    rng = np.random.default_rng(seed)
+    phones: list = []
+    for word_phones in text_to_phones(text):
+        phones.extend(word_phones)
+        phones.append(None)
+
+    # -- segment specs (reuse the shared per-phone targets) -----------------
+    seg_specs = [(int(0.04 * SR), (500, 1500, 2500), False, None, 0.0)]
+    for ph in phones:
+        if ph is None:
+            gap = int(rng.uniform(0.03, 0.08) * SR)
+            seg_specs.append((gap, (500, 1500, 2500), False, None, 0.0))
+            continue
+        (f1, f2, f3), voiced, fric, dmul = _resonator_targets(ph)
+        dur = rng.uniform(0.06, 0.12) * length_scale * dmul
+        targets = (f1 * vtl_scale, f2 * vtl_scale, f3 * vtl_scale)
+        if ph in _STOPS:                        # closure gap BEFORE release
+            seg_specs.append((int(0.025 * SR), targets, False, None, 0.0))
+        seg_specs.append((int(dur * SR), targets, voiced, fric,
+                          1.0 if ph not in _STOPS else 0.8))
+    n_total = sum(s[0] for s in seg_specs)
+    if n_total == 0:
+        return np.zeros(160, np.float32)
+
+    # -- 10 ms frame grid; LINEAR interp between segment-centre targets ----
+    hop = 160
+    n_frames = n_total // hop + 1
+    centers, f_pts, v_pts, fr_pts, band_pts = [], [], [], [], []
+    pos = 0
+    for n, targets, voiced, fric, amp in seg_specs:
+        centers.append(pos + n / 2)
+        f_pts.append(targets)
+        v_pts.append(amp if voiced else 0.0)
+        fr_pts.append((amp if not voiced else amp * 0.5)
+                      if fric is not None else 0.0)
+        band_pts.append(fric if fric is not None else (2500.0, 3500.0))
+        pos += n
+    centers = np.asarray(centers) / hop
+    fr_idx = np.arange(n_frames, dtype=np.float64)
+    f_frames = np.stack([np.interp(fr_idx, centers,
+                                   [p[c] for p in f_pts])
+                         for c in range(3)], axis=1)      # [T, 3]
+    v_frames = np.interp(fr_idx, centers, v_pts)
+    fric_frames = np.interp(fr_idx, centers, fr_pts)
+    band_frames = np.stack([np.interp(fr_idx, centers,
+                                      [b[c] for b in band_pts])
+                            for c in range(2)], axis=1)
+
+    def envelope(freqs, f3):
+        """Gaussian formant humps + gentle spectral tilt, at `freqs` [.., K].
+        f3 broadcasts per frame."""
+        env = np.zeros_like(freqs)
+        for c, (gain, sig) in enumerate(((1.0, 90.0), (0.5, 120.0),
+                                         (0.22, 170.0))):
+            env = env + gain * np.exp(
+                -0.5 * ((freqs - f3[..., c:c + 1]) / sig) ** 2)
+        return (env + 0.02) / (1.0 + (freqs / 3500.0) ** 2)
+
+    # -- voiced: additive harmonic bank -------------------------------------
+    t = np.arange(n_total) / SR
+    f0_track = f0 * (1.0 + 0.05 * np.sin(2 * np.pi * 2.2 * t + rng.uniform(
+        0, 2 * np.pi)) - 0.10 * t / max(t[-1], 1e-3))
+    K = min(int(7600.0 / f0_track.min()), 64)
+    k = np.arange(1, K + 1)
+    harm_f = f0_track[::hop][:n_frames, None] * k[None, :]   # [T, K]
+    A = envelope(harm_f, f_frames) * v_frames[:, None]
+    A[harm_f > 7600.0] = 0.0
+    # per-sample amplitudes via linear interp of the frame grid
+    A_s = np.empty((n_total, K))
+    for j in range(K):
+        A_s[:, j] = np.interp(np.arange(n_total) / hop, fr_idx, A[:, j])
+    phase = 2 * np.pi * np.cumsum(f0_track) / SR
+    phi0 = rng.uniform(0, 2 * np.pi, K)
+    voiced = (A_s * np.sin(phase[:, None] * k[None, :]
+                           + phi0[None, :])).sum(axis=1)
+
+    # -- unvoiced: frame-wise FFT-shaped noise, Hann overlap-add ------------
+    win = 512
+    hann = np.hanning(win)
+    fft_f = np.fft.rfftfreq(win, 1.0 / SR)
+    noise = np.zeros(n_total + win)
+    for i in range(n_frames):
+        if fric_frames[i] < 1e-3:
+            continue
+        lo, hi = band_frames[i]
+        ctr, sig = (lo + hi) / 2.0, max((hi - lo) / 2.0, 200.0)
+        shape = np.exp(-0.5 * ((fft_f - ctr) / sig) ** 2) \
+            + 0.15 * envelope(fft_f[None, :], f_frames[i:i + 1])[0]
+        spec = (np.fft.rfft(rng.standard_normal(win)) * shape)
+        noise[i * hop:i * hop + win] += np.fft.irfft(spec, win) * hann \
+            * fric_frames[i]
+    noise = noise[:n_total]
+    nf_peak = np.abs(noise).max()
+    if nf_peak > 0:
+        noise = noise / nf_peak * 0.5
+
+    audio = voiced + noise \
+        + noise_scale * 0.002 * rng.standard_normal(n_total)
+    peak = np.abs(audio).max()
+    if peak > 0:
+        audio = audio / peak * 0.6
+    return audio.astype(np.float32)
+
+
 def cleanup_filter(audio: np.ndarray) -> np.ndarray:
     """Median + 4th-order Butterworth 7 kHz low-pass
     (generate_samples.py:296-313 contract)."""

@@ -176,12 +176,14 @@ def synthesize_word_variants(word: str, n_variants: int, clip_samples: int,
                              channel: str = "formant") -> np.ndarray:
     """[n_variants, clip_samples] int16 clips of one word, varied speakers.
 
-    `channel` selects the synthesis domain: "formant" / "resonator" (the
-    two training channels — tts.formant_synthesize and the acoustically
-    distinct Klatt-style tts.resonator_synthesize), "union" (variants
-    alternate between the two), or "formant_fx" / "resonator_fx" (the same
-    rendering through the EVAL-ONLY telephone-EQ/reverb/soft-clip chain,
-    tts.apply_channel_fx — the held-out transfer domain)."""
+    `channel` selects the synthesis domain: "formant" / "resonator" /
+    "harmonic" (three acoustically disjoint renderers —
+    tts.formant_synthesize, the Klatt-style tts.resonator_synthesize, and
+    the sinusoidal-model tts.harmonic_synthesize), "union" (variants
+    alternate formant/resonator), "union3" (all three), or "formant_fx" /
+    "resonator_fx" / "harmonic_fx" (the same rendering through the
+    EVAL-ONLY telephone-EQ/reverb/soft-clip chain, tts.apply_channel_fx —
+    the held-out transfer domain)."""
     import random
 
     import numpy as _np
@@ -189,6 +191,7 @@ def synthesize_word_variants(word: str, n_variants: int, clip_samples: int,
     from nanowakeword_tpu.data.generator.tts import (apply_channel_fx,
                                                      cleanup_filter,
                                                      formant_synthesize,
+                                                     harmonic_synthesize,
                                                      resonator_synthesize)
     rng = random.Random(seed)
     out = np.zeros((n_variants, clip_samples), np.int16)
@@ -199,9 +202,16 @@ def synthesize_word_variants(word: str, n_variants: int, clip_samples: int,
         ch = channel
         if ch == "union":
             ch = "formant" if v % 2 == 0 else "resonator"
+        elif ch == "union3":
+            ch = ("formant", "resonator", "harmonic")[v % 3]
         if ch.startswith("formant"):
             audio = formant_synthesize(word, length_scale=ls, noise_scale=ns,
                                        f0=f0, seed=seed * 7919 + v)
+        elif ch.startswith("harmonic"):
+            audio = harmonic_synthesize(
+                word, length_scale=ls, noise_scale=ns, f0=f0,
+                seed=seed * 7919 + v,
+                vtl_scale=rng.uniform(0.82, 1.18))
         else:
             audio = resonator_synthesize(
                 word, length_scale=ls, noise_scale=ns, f0=f0,
@@ -798,7 +808,15 @@ def evaluate_transfer(enc_vars, train_words: Sequence[str],
             enc_vars, transfer_words, channel="resonator")
         report["resonator_pair_acc"] = confusable_pair_accuracy(
             enc_vars, pairs, channel="resonator")
+        # the sinusoidal-model channel: held-out for union/formant/resonator
+        # training configs, in-domain for union3 (round-4 channel axis)
+        report["harmonic_centroid_acc"] = centroid_word_accuracy(
+            enc_vars, transfer_words, channel="harmonic")
+        report["harmonic_pair_acc"] = confusable_pair_accuracy(
+            enc_vars, pairs, channel="harmonic")
         # the *_fx chain is NEVER trained on — the true held-out domain
+        # (definition kept STABLE across rounds — mean of formant_fx and
+        # resonator_fx — so ladder scores stay comparable to v3-v8)
         report["heldout_fx_centroid_acc"] = float(np.mean([
             centroid_word_accuracy(enc_vars, transfer_words,
                                    channel="formant_fx"),
@@ -838,7 +856,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--cache", default=None,
                    help="corpus .npz cache path (skips re-synthesis)")
     p.add_argument("--channels", default=PretrainConfig().channels,
-                   choices=["formant", "resonator", "union"],
+                   choices=["formant", "resonator", "harmonic", "union",
+                            "union3"],
                    help="synthesis channel(s) for the training corpus")
     p.add_argument("--channel-robust", type=float, default=0.0,
                    metavar="P", help="probability for the mu-law codec and "
@@ -874,8 +893,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     report["channels"] = config.channels
     channel_desc = {"formant": "formant-synthesized",
                     "resonator": "resonator-synthesized",
+                    "harmonic": "sinusoidal-model synthesized",
                     "union": "formant+resonator (union of two disjoint "
-                             "synthesis channels)"}[config.channels]
+                             "synthesis channels)",
+                    "union3": "formant+resonator+harmonic (union of three "
+                              "disjoint synthesis channels)"}[config.channels]
     robust = ""
     if config.companding_prob > 0 or config.bandlimit_prob > 0:
         robust = (f", mu-law codec round-trip p={config.companding_prob}, "

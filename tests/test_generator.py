@@ -82,6 +82,50 @@ class TestTTS:
         audio2 = formant_synthesize("hey nano", seed=1)
         assert len(audio) != len(audio2) or not np.allclose(audio, audio2)
 
+    def test_harmonic_synthesis_produces_audio(self):
+        from nanowakeword_tpu.data.generator.tts import harmonic_synthesize
+        audio = harmonic_synthesize("hey nano", seed=0)
+        assert audio.dtype == np.float32
+        assert 0.3 <= len(audio) / 16000 <= 4.0
+        assert 0.1 < np.abs(audio).max() <= 1.0
+        audio2 = harmonic_synthesize("hey nano", seed=1)
+        assert len(audio) != len(audio2) or not np.allclose(audio, audio2)
+        # deterministic given the seed
+        again = harmonic_synthesize("hey nano", seed=0)
+        np.testing.assert_array_equal(audio, again)
+
+    def test_harmonic_channel_is_spectrally_disjoint(self):
+        """The third channel must not be an acoustic twin of either
+        existing channel: its magnitude spectrum correlates LESS with each
+        of them than they do with each other (measured at commit time:
+        f-h 0.29, r-h 0.28 vs f-r 0.38 on this word/seed)."""
+        from nanowakeword_tpu.data.generator.tts import (
+            formant_synthesize, harmonic_synthesize, resonator_synthesize)
+
+        def spec(x, n=16000):
+            x = np.pad(x[:n], (0, max(0, n - len(x))))
+            s = np.abs(np.fft.rfft(x))
+            return s / s.sum()
+
+        f = spec(formant_synthesize("hello", seed=3))
+        r = spec(resonator_synthesize("hello", seed=3))
+        h = spec(harmonic_synthesize("hello", seed=3))
+        fr = np.corrcoef(f, r)[0, 1]
+        assert np.corrcoef(f, h)[0, 1] < fr
+        assert np.corrcoef(r, h)[0, 1] < fr
+
+    def test_union3_cycles_all_three_channels(self):
+        from nanowakeword_tpu.train.pretrain_encoder import (
+            synthesize_word_variants)
+        var = synthesize_word_variants("hey nano", 6, 24000, seed=5,
+                                       channel="union3")
+        assert var.shape == (6, 24000) and var.dtype == np.int16
+        # every variant is nonzero and no two renders are identical
+        assert (np.abs(var).max(axis=1) > 500).all()
+        for a in range(6):
+            for b in range(a + 1, 6):
+                assert not np.array_equal(var[a], var[b])
+
     def test_cleanup_filter_preserves_shape(self):
         x = np.random.default_rng(0).normal(0, 0.1, 8000).astype(np.float32)
         y = cleanup_filter(x)

@@ -94,6 +94,18 @@ def test_fx_chain_eval_runs_live():
     assert acc >= 0.8, f"live fx-chain centroid acc {acc} < 0.8"
 
 
+def test_harmonic_channel_eval_runs_live():
+    """LIVE probe on the round-4 THIRD synthesis channel (sinusoidal-model
+    tts.harmonic_synthesize): a never-trained rendering family for any
+    union(2)-trained asset — a second honest transfer domain beside the fx
+    chain. Measured at commit time on the shipped v3 asset: 1.0 at 8
+    words (0.75 at 16 words); bar at 0.7 vs 0.125 chance."""
+    enc = pretrained_encoder_variables()
+    acc = centroid_word_accuracy(enc, TRANSFER_WORDS, n_enroll=3, n_test=2,
+                                 channel="harmonic", seed=277)
+    assert acc >= 0.7, f"live harmonic-channel centroid acc {acc} < 0.7"
+
+
 def test_default_encoder_is_the_pretrained_asset():
     from nanowakeword_tpu.models.embedding import infer_encoder_arch
     pretrained = pretrained_encoder_variables()
