@@ -48,7 +48,8 @@ def _rms(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(x * x) + EPS)
 
 
-def _shift_right(x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+def _shift_right(x: jnp.ndarray, offset: jnp.ndarray,
+                 block_aligned: bool = False) -> jnp.ndarray:
     """Zero-filled right shift of a 1-D vector by a TRACED offset, exact.
 
     `jnp.roll` with a traced shift is the single heaviest op in the
@@ -63,6 +64,9 @@ def _shift_right(x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
     avoids HIGHEST precision is SLOWER — 4.7 — because of the extra
     operand passes). HIGHEST-precision dots with one-hot {0,1} operands
     reproduce the roll path bit-exactly.
+
+    With `block_aligned` (static) the caller guarantees offset % 128 == 0
+    and the fine stage — two of the three dots — is skipped entirely.
     """
     n = x.shape[-1]
     blk = 128 if n % 128 == 0 else (32 if n % 32 == 0 else 0)
@@ -83,6 +87,8 @@ def _shift_right(x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
     p_onehot_data = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
     sel = (ii[:, None] - q == ii[None, :]).astype(x.dtype)      # [out, in]
     y = jax.lax.dot(sel, blocks, precision=p_onehot_data)
+    if block_aligned and blk == 128:
+        return y.reshape(n)
     z = jnp.concatenate([jnp.zeros((1, blk), x.dtype), y[:-1]])
     a = jnp.arange(blk)
     low = (a[:, None] + r == a[None, :]).astype(x.dtype)        # [in, out]
@@ -93,13 +99,17 @@ def _shift_right(x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
 
 
 def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
-            snr_db: jnp.ndarray, has_bg: jnp.ndarray) -> jnp.ndarray:
+            snr_db: jnp.ndarray, has_bg: jnp.ndarray,
+            block_aligned: bool = False) -> jnp.ndarray:
     """Place fg into bg at `offset` with the given SNR (floats in [-1, 1]).
 
     Matches `_mix_snr` (augment_clips.py:45-79): background RMS floored at
     MIN_BG_RMS, scaled foreground floored at MIN_FG_RMS. When has_bg is
     False, the foreground is placed at offset 0 on silence without SNR
     scaling (augment_clips.py:218-231).
+
+    `block_aligned` (static): caller guarantees offset % 128 == 0, which
+    lets the shift skip its in-block fine stage (see _shift_right).
     """
     fg_rms = _rms(fg)
     bg_rms = jnp.maximum(_rms(bg), MIN_BG_RMS)
@@ -113,7 +123,7 @@ def mix_snr(fg: jnp.ndarray, bg: jnp.ndarray, offset: jnp.ndarray,
     offset = jnp.where(has_bg, offset, 0)
     # shift fg right by `offset`, zero-filled (fg is zero-padded beyond its
     # content, so nothing real is dropped for valid offsets)
-    shifted = _shift_right(fg, offset)
+    shifted = _shift_right(fg, offset, block_aligned=block_aligned)
     return jnp.where(has_bg, bg + shifted * scale, shifted)
 
 
@@ -384,6 +394,10 @@ class AugmentParams(NamedTuple):
     # measured 1.55x cheaper standalone / -3.5 ms on the config-3 chain
     # (see that function's design log).
     pitch_grid: int = 16
+    # foreground-placement quantum in samples (see _augment_pre): offsets
+    # round down to this grid so the shift can skip its fine stage. Must be
+    # a multiple of 128 to engage; 0/1 = exact sample placement.
+    offset_quantum: int = 128
 
     @classmethod
     def from_settings(cls, settings=None) -> "AugmentParams":
@@ -407,6 +421,8 @@ class AugmentParams(NamedTuple):
             bandlimit_prob=float(cfg["bandlimit_prob"]),
             pitch_grid=int(cfg.get("pitch_grid_rates",
                                    cls._field_defaults["pitch_grid"])),
+            offset_quantum=int(cfg.get(
+                "offset_quantum", cls._field_defaults["offset_quantum"])),
         )
 
 
@@ -421,9 +437,18 @@ def _augment_pre(key, fg, bg, fg_len, has_bg, params: AugmentParams):
 
     max_offset = jnp.maximum(n - fg_len, 0)
     offset = jax.random.randint(k_off, (), 0, jnp.maximum(max_offset, 1))
+    # Placement quantization: round the offset down to a 128-sample (8 ms)
+    # grid so the shift skips its in-block fine stage — two of its three
+    # MXU dots (see _shift_right). 8 ms placement granularity is far below
+    # the 80 ms frame hop the detector decides on, and the mel frontend's
+    # own 10 ms hop already makes sub-frame placement phase-only.
+    aligned = params.offset_quantum > 1 and n % 128 == 0 \
+        and params.offset_quantum % 128 == 0
+    if aligned:
+        offset = (offset // params.offset_quantum) * params.offset_quantum
     snr_db = jax.random.uniform(k_snr, (), minval=params.min_snr,
                                 maxval=params.max_snr)
-    mixed = mix_snr(fg, bg, offset, snr_db, has_bg)
+    mixed = mix_snr(fg, bg, offset, snr_db, has_bg, block_aligned=aligned)
 
     # gain (dB), probability gate
     gain_db = jax.random.uniform(k_gain, (), minval=params.min_gain,

@@ -213,6 +213,39 @@ class TestBatch:
         assert ((peaks >= 0.45) & (peaks <= 1.0)).all()
 
 
+class TestBlockAlignedShift:
+    def test_matches_full_path_on_aligned_offsets(self):
+        """block_aligned skips the fine stage; for offsets that are
+        multiples of 128 the result must be bit-identical to the full
+        three-dot path (which is itself bit-identical to roll)."""
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            0, 0.4, 1280).astype(np.float32))
+        for off in (0, 128, 512, 1152):
+            full = A._shift_right(x, jnp.int32(off))
+            fast = A._shift_right(x, jnp.int32(off), block_aligned=True)
+            np.testing.assert_array_equal(np.asarray(full), np.asarray(fast))
+
+    def test_batch_offsets_are_quantized(self):
+        """With the default offset_quantum, every foreground onset in the
+        batch lands on the 128-sample grid (fg starts with a marker spike;
+        bg is silence so placement is offset 0? no — has_bg True)."""
+        B, L = 8, 2560
+        fg = np.zeros((B, L), np.float32)
+        fg[:, 0] = 20000.0                       # onset marker
+        bg = np.full((B, L), 1.0, np.float32)    # flat, non-zero bg
+        params = A.AugmentParams.from_settings(
+            {"pitch_prob": 0.0, "rir_prob": 0.0, "gain_prob": 0.0,
+             "min_snr_in_db": 30.0, "max_snr_in_db": 30.0,
+             "min_volume_augmentation": 1.0, "max_volume_augmentation": 1.0})
+        out = np.asarray(A.augment_batch(
+            jax.random.PRNGKey(3), fg, bg, np.zeros((B, 100), np.float32),
+            np.full(B, 256, np.int32), np.ones(B, bool), np.zeros(B, bool),
+            params)).astype(np.float32)
+        onsets = np.abs(out).argmax(axis=1)
+        assert (onsets % 128 == 0).all(), onsets
+        assert len(set(onsets.tolist())) > 1    # still randomly placed
+
+
 class TestGroupedPitch:
     """Rate-quantized grouped pitch (resample_pitch_grouped + the
     augment_batch fast path around it)."""

@@ -96,9 +96,10 @@ def main():
     w = pitch_window(2.0)
     apply = jnp.ones(BATCH, bool)
     perm = jnp.arange(R)
+    p_static = tuple(int(p) for p in p_vals)
     timed("grouped einsum", lambda a: resample_pitch_grouped(
         a, grid, perm, apply, window=w), x)
-    timed("rational p/64", rational_batch, x, tuple(p_vals))
+    timed("rational p/64", lambda a: rational_batch(a, p_static), x)
 
 
 if __name__ == "__main__":
