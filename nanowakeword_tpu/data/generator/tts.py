@@ -430,7 +430,11 @@ def harmonic_synthesize(text: str, length_scale: float = 1.0,
         0, 2 * np.pi)) - 0.10 * t / max(t[-1], 1e-3))
     K = min(int(7600.0 / f0_track.min()), 64)
     k = np.arange(1, K + 1)
-    harm_f = f0_track[::hop][:n_frames, None] * k[None, :]   # [T, K]
+    # f0 sampled AT the frame grid (interp, not stride: [::hop] yields
+    # n_frames-1 rows whenever n_total % hop == 0 and the envelope
+    # broadcast against f_frames [T,3] then raises)
+    f0_frames = np.interp(fr_idx * hop, np.arange(n_total), f0_track)
+    harm_f = f0_frames[:, None] * k[None, :]                 # [T, K]
     A = envelope(harm_f, f_frames) * v_frames[:, None]
     A[harm_f > 7600.0] = 0.0
     # per-sample amplitudes via linear interp of the frame grid

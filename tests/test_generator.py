@@ -94,6 +94,18 @@ class TestTTS:
         again = harmonic_synthesize("hey nano", seed=0)
         np.testing.assert_array_equal(audio, again)
 
+    def test_harmonic_synthesis_frame_aligned_length(self):
+        """Regression: when the sampled segment lengths sum to an exact
+        multiple of the 160-sample hop, f0_track[::hop] used to come up
+        one frame short of the interpolated envelope grid and the harmonic
+        bank raised a broadcast ValueError ((T,K) vs (T+1,3)). Seed 85 of
+        'hey nano' hits that length; f0 now interps onto the frame grid."""
+        from nanowakeword_tpu.data.generator.tts import harmonic_synthesize
+        for seed in (85, 90):
+            audio = harmonic_synthesize("hey nano", seed=seed)
+            assert audio.dtype == np.float32 and len(audio) > 0
+            assert 0.1 < np.abs(audio).max() <= 1.0
+
     def test_harmonic_channel_is_spectrally_disjoint(self):
         """The third channel must not be an acoustic twin of either
         existing channel: its magnitude spectrum correlates LESS with each
