@@ -335,6 +335,101 @@ def resample_pitch_grouped(x: jnp.ndarray, grid: tuple, perm: jnp.ndarray,
     return jnp.where(apply[:, None], out, x)
 
 
+PITCH_RATE_DEN = 64
+
+
+def pitch_pgrid(min_st: float, max_st: float, n_rates: int,
+                q: int = PITCH_RATE_DEN) -> tuple:
+    """Static integer-numerator grid for the rational pitch path: rate
+    p/q nearest to 2^(st/12) for n_rates uniform semitone points. At the
+    default ±2 st / q=64 the numerators span 57..72, i.e. the rate
+    quantum 1/64 ≈ 0.14 st is FINER than pitch_grid's 0.27-st spacing at
+    R=16 (duplicate numerators after rounding are harmless — two groups
+    then share a rate)."""
+    sts = np.linspace(min_st, max_st, n_rates)
+    return tuple(int(round(2.0 ** (s / 12.0) * q)) for s in sts)
+
+
+def resample_pitch_rational(x: jnp.ndarray, p_grid: tuple,
+                            apply: jnp.ndarray,
+                            q: int = PITCH_RATE_DEN) -> jnp.ndarray:
+    """Rational-rate batch pitch resample, INTERLEAVED static assignment:
+    clip b is linearly resampled at rate p_grid[b % R] / q.
+
+    The win over `resample_pitch_grouped`: with an integer rate p/q,
+    output row t of out.reshape(n//q, q) reads EXACTLY x[t*p : t*p+p+1],
+    so the overlapping source spans are one reshape plus a one-column
+    strided tail — the [F, n_windows] one-hot span-select contraction
+    (and the 8x-duplicated [.., n_windows, window] span view it feeds on)
+    disappears entirely, and the per-rate hat weights collapse to a
+    static [p+1, q] constant. Work drops from ~26 MMAC/clip to
+    n*(p+1) ≈ 1.2 MMAC/clip; what remains is the HBM stream of the batch.
+
+    Rate decorrelation — why a STATIC slot->rate map is sound here where
+    the grouped path needed a traced perm: the numerator is SHAPE-defining,
+    so a traced perm cannot index the grid; every mechanism that moves the
+    perm into the graph was built and measured at B=2048, n=16000
+    (tools/probe_pitch_rational.py, grouped baseline 3.4 ms/batch):
+    one-hot [R, R] matmul routing 8.2 ms (a traced perm cannot constant-
+    fold; the batch is materialized twice through the MXU at HIGHEST
+    precision), row-gather routing 9.2 ms (XLA lowers a traced 16-row
+    gather of 8 MB rows poorly on TPU), per-group lax.switch over R
+    static-rate branches 3.3 ms (no HBM routing, but each conditional
+    copies its 8 MB operand and result). The interleaved static map runs
+    at the 2.0 ms no-decorrelation floor, and it does not weaken the
+    statistics the perm existed to protect: (a) WITHIN a batch, every
+    contiguous run of k*R slots sees each rate exactly k times, so
+    slot-structured batches (the ISBL sampler's per-rule slot ranges,
+    supcon's word groups) get a uniform rate mix every step — stronger
+    stratification than a random group permutation; (b) ACROSS steps,
+    which clip sits at slot b is already randomized by every caller
+    (pretrain_encoder draws idx ~ uniform per step; augment_clips
+    shuffles clip order per pass), so each clip's rate marginal is
+    uniform over the grid without any routing here.
+
+    Same linear interpolation and bf16 MXU operand dtype as
+    `resample_pitch` (reference parity: augment_clips.py pitch shift);
+    past-the-end reads are masked to 0 identically. Caller guarantees
+    B % R == 0 and n % q == 0; `augment_batch` gates on those.
+    """
+    B, n = x.shape
+    R = len(p_grid)
+    G = B // R
+    cdt = jnp.bfloat16
+    nq = n // q
+
+    # Materialize the producer ONCE before the R strided readers. Without
+    # this barrier XLA fuses whatever elementwise chain produced `x` (the
+    # mix/gain pre-stage in augment_batch) into each of the R slice
+    # consumers and into the final where's passthrough operand, re-running
+    # it many times: measured pre+pitch+post 8.9 ms/batch without the
+    # barrier vs 6.6 ms with it (2048 x 16000; tools/probe_pitch_rational
+    # in-chain experiment, round 4). Identity on values.
+    x = jax.lax.optimization_barrier(x)
+
+    xg = x.reshape(G, R, n)
+    outs = []
+    for r in range(R):
+        p = int(p_grid[r])
+        xr = xg[:, r]                                 # [G, n], slots r::R
+        pad = nq * p + 1 - n
+        xp = jnp.pad(xr, ((0, 0), (0, pad))) if pad > 0 else xr
+        rows = xp[:, :nq * p].reshape(G, nq, p)
+        tail = xp[:, p:nq * p + 1:p]                  # x[(t+1)*p]
+        spans = jnp.concatenate([rows, tail[:, :, None]], axis=2)
+        # hat weights: column j interpolates position j*p/q in the span
+        m = jnp.arange(p + 1, dtype=jnp.float32)[:, None]
+        jpos = (jnp.arange(q, dtype=jnp.float32) * p / q)[None, :]
+        W = jnp.maximum(0.0, 1.0 - jnp.abs(jpos - m)).astype(cdt)
+        out = jnp.einsum("gnp,pq->gnq", spans.astype(cdt), W,
+                         preferred_element_type=jnp.float32).reshape(G, n)
+        valid = jnp.arange(n) * p <= (n - 1) * q      # pos <= n-1, exact
+        outs.append(jnp.where(valid[None, :], out, 0.0))
+
+    out = jnp.stack(outs, axis=1).reshape(B, n)
+    return jnp.where(apply[:, None], out, x)
+
+
 def rir_convolve(x: jnp.ndarray, rir: jnp.ndarray,
                  apply: jnp.ndarray) -> jnp.ndarray:
     """Room-impulse-response FFT convolution, output truncated to len(x).
@@ -398,6 +493,12 @@ class AugmentParams(NamedTuple):
     # round down to this grid so the shift can skip its fine stage. Must be
     # a multiple of 128 to engage; 0/1 = exact sample placement.
     offset_quantum: int = 128
+    # rational-rate pitch: quantize rates to p/64 so the resample becomes
+    # a reshape + tiny static-weight matmul per rate (resample_pitch_rational,
+    # 2.0 vs 3.4 ms/batch at 2048x16000) instead of the grouped one-hot span
+    # select. The p/64 quantum (~0.14 st) is FINER than the grouped grid's
+    # 0.27-st spacing at the default 16 rates. False = grouped einsum.
+    pitch_rational: bool = True
 
     @classmethod
     def from_settings(cls, settings=None) -> "AugmentParams":
@@ -423,6 +524,8 @@ class AugmentParams(NamedTuple):
                                    cls._field_defaults["pitch_grid"])),
             offset_quantum=int(cfg.get(
                 "offset_quantum", cls._field_defaults["offset_quantum"])),
+            pitch_rational=bool(cfg.get(
+                "pitch_rational", cls._field_defaults["pitch_rational"])),
         )
 
 
@@ -603,18 +706,26 @@ def augment_batch(key, fg, bg, rir, fg_lens, has_bg, has_rir,
         frame, blk = 40, PITCH_SPAN_BLK
         window = pitch_window(max(abs(params.min_pitch),
                                   abs(params.max_pitch)))
-        if (B % params.pitch_grid == 0
-                and n % (frame * blk // math.gcd(frame, blk)) == 0
-                and n // blk - window // blk + 1 >= 1):
+        rational = (params.pitch_rational and B % params.pitch_grid == 0
+                    and n % PITCH_RATE_DEN == 0)
+        grouped = (B % params.pitch_grid == 0
+                   and n % (frame * blk // math.gcd(frame, blk)) == 0
+                   and n // blk - window // blk + 1 >= 1)
+        if rational or grouped:
             mixed = jax.vmap(_augment_pre, in_axes=(0, 0, 0, 0, 0, None))(
                 keys, fg, bg, fg_lens, has_bg, params)
             gate = jax.vmap(_pitch_gate, in_axes=(0, None))(keys, params)
-            grid = pitch_grid(params.min_pitch, params.max_pitch,
-                              params.pitch_grid)
-            perm = jax.random.permutation(jax.random.fold_in(key, 106),
-                                          params.pitch_grid)
-            mixed = resample_pitch_grouped(mixed, grid, perm, gate,
-                                           frame=frame, window=window)
+            if rational:
+                pgrid = pitch_pgrid(params.min_pitch, params.max_pitch,
+                                    params.pitch_grid)
+                mixed = resample_pitch_rational(mixed, pgrid, gate)
+            else:
+                perm = jax.random.permutation(jax.random.fold_in(key, 106),
+                                              params.pitch_grid)
+                grid = pitch_grid(params.min_pitch, params.max_pitch,
+                                  params.pitch_grid)
+                mixed = resample_pitch_grouped(mixed, grid, perm, gate,
+                                               frame=frame, window=window)
             out = jax.vmap(_augment_post, in_axes=(0, 0, 0, 0, None))(
                 keys, mixed, rir, has_rir, params)
             return (out * INT16_MAX).astype(jnp.int16)

@@ -353,6 +353,129 @@ class TestGroupedPitch:
             assert zc == pytest.approx(want, rel=0.08), (g, zc, want)
 
 
+class TestRationalPitch:
+    """Rational-rate pitch (resample_pitch_rational + the augment_batch
+    fast path around it): p/64 static numerators, interleaved slot->rate
+    assignment (clip b at rate p_grid[b % R])."""
+
+    def test_matches_explicit_linear_interp(self):
+        """Each clip must equal explicit linear interpolation at its
+        slot's p/64 rate within the bf16 operand-rounding bound (the same
+        tolerance resample_pitch is held to)."""
+        B, n, R = 8, 1280, 4
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 0.3, (B, n)).astype(np.float32)
+        pgrid = (57, 62, 68, 72)
+        out = np.asarray(A.resample_pitch_rational(
+            jnp.asarray(x), pgrid, jnp.ones(B, bool)))
+        for b in range(B):
+            p = pgrid[b % R]
+            pos = np.arange(n) * p / 64.0
+            lo = np.clip(np.floor(pos).astype(int), 0, n - 1)
+            frac = (pos - lo).astype(np.float32)
+            ref = x[b, lo] * (1 - frac) \
+                + x[b, np.clip(lo + 1, 0, n - 1)] * frac
+            ref = np.where(pos <= n - 1, ref, 0.0)
+            tol = np.abs(x[b]).max() * 2.0 ** -8
+            assert np.abs(out[b] - ref).max() < tol, b
+
+    def test_interleave_matches_single_rate_exactly(self):
+        """Slots r::R must be bit-identical to a single-rate call at
+        pgrid[r] on just those slots — the interleaved strided
+        slice/stack must not perturb the payload."""
+        B, n, R = 8, 640, 4
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 0.3, (B, n)).astype(np.float32))
+        pgrid = (57, 62, 68, 72)
+        out = np.asarray(A.resample_pitch_rational(
+            x, pgrid, jnp.ones(B, bool)))
+        for r in range(R):
+            single = np.asarray(A.resample_pitch_rational(
+                x[r::R], (pgrid[r],), jnp.ones(B // R, bool)))
+            np.testing.assert_array_equal(out[r::R], single)
+
+    def test_apply_false_passthrough(self):
+        B, n = 8, 640
+        x = jnp.asarray(np.random.default_rng(2).normal(
+            0, 0.3, (B, n)).astype(np.float32))
+        out = A.resample_pitch_rational(x, (57, 62, 68, 72),
+                                        jnp.zeros(B, bool))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def test_batch_ungated_clips_identical_across_paths(self):
+        """Gate-off clips bit-equal to the continuous chain, gate-on clips
+        differ — proof the rational path engaged inside augment_batch."""
+        rng = np.random.default_rng(3)
+        B, L = 16, 8000
+        fg = rng.integers(-8000, 8000, (B, L)).astype(np.float32)
+        bg = rng.integers(-2000, 2000, (B, L)).astype(np.float32)
+        args = (fg, bg, np.zeros((B, 1600), np.float32),
+                np.full(B, L, np.int32), np.ones(B, bool),
+                np.zeros(B, bool))
+        key = jax.random.PRNGKey(11)
+        p_rat = A.AugmentParams.from_settings(
+            {"rir_prob": 0.0, "pitch_grid_rates": 16,
+             "pitch_rational": True})
+        p_cont = A.AugmentParams.from_settings({"rir_prob": 0.0,
+                                                "pitch_grid_rates": 0})
+        out_r = np.asarray(A.augment_batch(key, *args, p_rat))
+        out_c = np.asarray(A.augment_batch(key, *args, p_cont))
+        keys = jax.random.split(key, B)
+        gate = np.asarray(jax.vmap(A._pitch_gate, in_axes=(0, None))(
+            keys, p_rat))
+        assert gate.any() and not gate.all()
+        np.testing.assert_array_equal(out_r[~gate], out_c[~gate])
+        assert (out_r[gate] != out_c[gate]).any(axis=1).all()
+
+    def test_batch_falls_back_to_grouped_when_not_64_divisible(self):
+        """n % 64 != 0 but grouped-path-compatible -> bit-identical to the
+        grouped path (gate ordering must not change semantics)."""
+        rng = np.random.default_rng(4)
+        B, L = 16, 2000                        # 2000 % 64 != 0, % 80 == 0
+        fg = rng.integers(-8000, 8000, (B, L)).astype(np.float32)
+        args = (fg, np.zeros_like(fg), np.zeros((B, 100), np.float32),
+                np.full(B, L, np.int32), np.ones(B, bool),
+                np.zeros(B, bool))
+        key = jax.random.PRNGKey(7)
+        out_r = np.asarray(A.augment_batch(key, *args,
+                           A.AugmentParams.from_settings(
+                               {"rir_prob": 0.0, "pitch_grid_rates": 16,
+                                "pitch_rational": True})))
+        out_g = np.asarray(A.augment_batch(key, *args,
+                           A.AugmentParams.from_settings(
+                               {"rir_prob": 0.0, "pitch_grid_rates": 16,
+                                "pitch_rational": False})))
+        np.testing.assert_array_equal(out_r, out_g)
+
+    def test_rate_stratification(self):
+        """A pure tone's zero-crossing rate per interleaved slot class
+        (b % R) must scale with that slot's p/64 rate — and every
+        contiguous R-slot window therefore sees all R rates."""
+        B, L, R = 16, 8192, 4
+        t = np.arange(L) / 16000.0
+        fg = np.tile((np.sin(2 * np.pi * 440 * t) * 8000).astype(np.float32),
+                     (B, 1))
+        key = jax.random.PRNGKey(9)
+        params = A.AugmentParams.from_settings(
+            {"rir_prob": 0.0, "gain_prob": 0.0, "pitch_prob": 1.0,
+             "min_pitch_semitones": -6.0, "max_pitch_semitones": 6.0,
+             "pitch_grid_rates": R, "pitch_rational": True,
+             "min_volume_augmentation": 0.8,
+             "max_volume_augmentation": 0.8})
+        out = np.asarray(A.augment_batch(
+            key, fg, np.zeros_like(fg), np.zeros((B, 100), np.float32),
+            np.full(B, L, np.int32), np.ones(B, bool), np.zeros(B, bool),
+            params)).astype(np.float32)
+        pgrid = A.pitch_pgrid(-6.0, 6.0, R)
+        for r in range(R):
+            rate = pgrid[r] / 64.0
+            m = int(L / max(rate, 1.0) * 0.9)
+            zc = np.mean([(np.diff(np.sign(out[b, :m])) != 0).sum() / m
+                          for b in range(r, B, R)])
+            want = 2 * 440 * rate / 16000.0
+            assert zc == pytest.approx(want, rel=0.08), (r, zc, want)
+
+
 class TestChannelRobustness:
     """mu-law codec round-trip + random band-limit (encoder-pretraining
     channel-robustness pair; both off by default)."""

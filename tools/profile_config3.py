@@ -10,26 +10,25 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_config3.py
        (add --bf16 for the compute_dtype=bfloat16 train-step variant; the
        augmentation/mel stages are dtype-independent)
 
-Round-3 measurements (batch 2048 x 16000, 16 chained steps/sync, v5e-1),
-taken with this tool while landing each optimization:
+Round-4 measurements (batch 2048 x 16000, 16 chained steps/sync, v5e-1,
+--bf16), after rational-interleaved pitch + the producer barrier landed:
 
-    pitch only                   6.4 ms/step   (blk=16 spans; was 8.4 at
-                                                blk=32, 9.7 pre-hat-weights,
-                                                14/18 pre-bf16 contraction)
-    mix_snr roll -> one-hot       4.2 ms        (was 10.0 with traced
-                                                jnp.roll)
-    augment (full, rir off)     ~11 ms
-    augment+mel (int16 feed)    ~12.2 ms        (mel 2.6 -> 1.2 ms once the
-                                                kernel reads int16 directly)
-    train step only (feats)      8.7 ms f32 / 5.4 ms bf16 (compute_dtype)
-    FULL config-3 step          22.3 ms f32 / 19.4 ms bf16
-                                = 91.8k / 105.6k clips/s
+    augment (default=rational)   6.9 ms/step   (grouped 8.2, continuous
+                                                11.6, pitch off 4.8)
+    augment+mel                  7.5 ms
+    augment+mel+spec+encoder     8.0 ms
+    train step only (feats)      5.2 ms bf16
+    FULL config-3 step          11.79 ms bf16 = 173.7k clips/s
+                                (grouped pitch same session: 14.97 = 136.8k;
+                                 round-3 record: 19.4 = 106.9k)
 
-bench.py --all reproduces the end numbers (crnn_train_aug[_bf16]_clips_per_s
-91.8k / 106.9k on the same session). Remaining cost order: pitch resample >
-train step > mix_snr > encoder+glue > mel; every pitch/mix_snr redesign
-candidate measured this round is recorded in ops/augment.py and the
-changelog (negatives included).
+Round-3 milestones for context: 31 ms -> 22.3/19.4 (one-hot mix shift,
+blk=16 spans, int16 mel feed, bf16 step); the per-op redesign candidates
+and negatives are recorded in ops/augment.py's docstrings and
+tools/probe_pitch_rational.py's decorrelation ladder.
+
+bench.py --all reproduces the end numbers (crnn_train_aug[_bf16]_clips_per_s)
+on the same session.
 """
 
 import sys
@@ -109,7 +108,9 @@ def main():
     feats16 = jax.device_put(np.asarray(
         rng.normal(size=(BATCH, 16, 96)), np.float32))
 
-    aug_params = AugmentParams.from_settings({"rir_prob": 0.0})
+    aug_params = AugmentParams.from_settings({"rir_prob": 0.0})  # = rational
+    aug_grouped = AugmentParams.from_settings({"rir_prob": 0.0,
+                                               "pitch_rational": False})
     aug_nopitch = AugmentParams.from_settings({"rir_prob": 0.0,
                                                "pitch_prob": 0.0})
 
@@ -152,7 +153,14 @@ def main():
         k = key_of(i)
         out = augment_batch(k, a, b, r, fl, hb, hr, aug_params)
         return acc + out[0, 0].astype(jnp.float32)
-    timed_chain("augment", aug_body, jnp.float32(0.0),
+    timed_chain("augment (default=rational)", aug_body, jnp.float32(0.0),
+                (audio, bg, rirs, fg_lens, flags, no_flags))
+
+    def aug_grp_body(i, acc, a, b, r, fl, hb, hr):
+        k = key_of(i)
+        out = augment_batch(k, a, b, r, fl, hb, hr, aug_grouped)
+        return acc + out[0, 0].astype(jnp.float32)
+    timed_chain("augment (grouped pitch)", aug_grp_body, jnp.float32(0.0),
                 (audio, bg, rirs, fg_lens, flags, no_flags))
 
     aug_cont = AugmentParams.from_settings({"rir_prob": 0.0,
@@ -210,6 +218,21 @@ def main():
         new_state, metrics = step(st, f, y)
         return new_state, metrics.loss
     timed_chain("FULL config-3 step", full_body,
+                (state, jnp.float32(0.0)),
+                (enc_vars, audio, bg, rirs, fg_lens, flags, no_flags,
+                 labels))
+
+    def full_grp_body(i, carry, ev, a, b, r, fl, hb, hr, y):
+        st, _ = carry
+        k = key_of(i)
+        aug = augment_batch(k, a, b, r, fl, hb, hr, aug_grouped)
+        mel = mel_frontend_fused(aug, out_dtype=jnp.bfloat16)
+        mel = spec_augment(k, mel)
+        emb = encoder.apply(ev, mel[:, EMB_OFFSET:])
+        f = jnp.pad(emb, ((0, 0), (16 - emb.shape[1], 0), (0, 0)))
+        new_state, metrics = step(st, f, y)
+        return new_state, metrics.loss
+    timed_chain("FULL config-3 (grouped)", full_grp_body,
                 (state, jnp.float32(0.0)),
                 (enc_vars, audio, bg, rirs, fg_lens, flags, no_flags,
                  labels))
