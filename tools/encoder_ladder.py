@@ -110,6 +110,10 @@ def main():
     p.add_argument("--workdir", default="campaign/encoder_ladder")
     p.add_argument("--cachedir", default="/tmp/encoder_ladder")
     args = p.parse_args()
+    # subprocesses run with cwd=REPO; resolve relative dirs against it so
+    # this script works from any launch directory
+    if not os.path.isabs(args.workdir):
+        args.workdir = os.path.join(REPO, args.workdir)
     os.makedirs(args.workdir, exist_ok=True)
     os.makedirs(args.cachedir, exist_ok=True)
 
