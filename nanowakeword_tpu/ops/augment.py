@@ -529,35 +529,79 @@ class AugmentParams(NamedTuple):
         )
 
 
-def _augment_pre(key, fg, bg, fg_len, has_bg, params: AugmentParams):
-    """Chain stages BEFORE pitch (mix + gain); vmapped over B. Subkey
-    derivation is shared with _augment_post/_pitch_gate via the same
-    9-way split, so the pre/pitch/post decomposition draws bit-identical
-    randomness to the fused single-clip chain."""
+def _offset_aligned(n: int, params: AugmentParams) -> bool:
+    """Placement quantization engaged: offsets round down to a 128-sample
+    (8 ms) grid so the shift skips its in-block fine stage — two of its
+    three MXU dots (see _shift_right) — and the Pallas mix kernel can
+    shift by pure sublane roll. 8 ms placement granularity is far below
+    the 80 ms frame hop the detector decides on, and the mel frontend's
+    own 10 ms hop already makes sub-frame placement phase-only."""
+    return (params.offset_quantum > 1 and n % 128 == 0
+            and params.offset_quantum % 128 == 0)
+
+
+def _pre_draws(key, fg_len, n: int, params: AugmentParams):
+    """Per-clip random draws of the pre-pitch stage (offset/SNR/gain).
+    Single-sourced so the vmapped chain and the fused Pallas mix kernel
+    consume bit-identical randomness. Subkey derivation shares the 9-way
+    split with _augment_post/_pitch_gate."""
     (k_off, k_snr, k_gain, _k_pitch, _k_rir, _k_vol, k_p1, _k_p2,
      _k_p3) = jax.random.split(key, 9)
-    n = fg.shape[-1]
-
     max_offset = jnp.maximum(n - fg_len, 0)
     offset = jax.random.randint(k_off, (), 0, jnp.maximum(max_offset, 1))
-    # Placement quantization: round the offset down to a 128-sample (8 ms)
-    # grid so the shift skips its in-block fine stage — two of its three
-    # MXU dots (see _shift_right). 8 ms placement granularity is far below
-    # the 80 ms frame hop the detector decides on, and the mel frontend's
-    # own 10 ms hop already makes sub-frame placement phase-only.
-    aligned = params.offset_quantum > 1 and n % 128 == 0 \
-        and params.offset_quantum % 128 == 0
-    if aligned:
+    if _offset_aligned(n, params):
         offset = (offset // params.offset_quantum) * params.offset_quantum
     snr_db = jax.random.uniform(k_snr, (), minval=params.min_snr,
                                 maxval=params.max_snr)
-    mixed = mix_snr(fg, bg, offset, snr_db, has_bg, block_aligned=aligned)
-
-    # gain (dB), probability gate
     gain_db = jax.random.uniform(k_gain, (), minval=params.min_gain,
                                  maxval=params.max_gain)
     apply_gain = jax.random.uniform(k_p1, ()) < params.gain_prob
+    return offset, snr_db, gain_db, apply_gain
+
+
+def _augment_pre(key, fg, bg, fg_len, has_bg, params: AugmentParams):
+    """Chain stages BEFORE pitch (mix + gain); vmapped over B."""
+    n = fg.shape[-1]
+    offset, snr_db, gain_db, apply_gain = _pre_draws(key, fg_len, n, params)
+    mixed = mix_snr(fg, bg, offset, snr_db, has_bg,
+                    block_aligned=_offset_aligned(n, params))
     return jnp.where(apply_gain, mixed * 10.0 ** (gain_db / 20.0), mixed)
+
+
+def _augment_pre_fused(keys, fg, bg, fg_lens, has_bg,
+                       params: AugmentParams, *,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Batched pre-stage through the fused Pallas mix kernel
+    (ops/mix_pallas.py): one HBM pass for convert+shift+mix+gain.
+
+    `fg` may be raw int16 (the kernel converts in-VMEM, halving the read)
+    or unit-scale float32. Draw/RMS/scale scalars are computed here with
+    the SAME vectorized ops the vmapped chain uses, so the result is
+    bit-identical to `vmap(_augment_pre)` (asserted in
+    tests/test_mix_pallas.py). Caller guarantees _offset_aligned and
+    n % 128 == 0.
+    """
+    from nanowakeword_tpu.ops.mix_pallas import mix_gain_pallas
+
+    B, n = fg.shape
+    offsets, snr_db, gain_db, apply_gain = jax.vmap(
+        _pre_draws, in_axes=(0, 0, None, None))(keys, fg_lens, n, params)
+
+    fg_unit = fg.astype(jnp.float32) * (1.0 / 32768.0) \
+        if jnp.issubdtype(fg.dtype, jnp.integer) else fg
+    # XLA fuses the convert into the reduce: the RMS pass reads int16
+    fg_rms = jax.vmap(_rms)(fg_unit)
+    bg_rms = jnp.maximum(jax.vmap(_rms)(bg), MIN_BG_RMS)
+    snr_linear = 10.0 ** (snr_db / 20.0)
+    scale = snr_linear * bg_rms / fg_rms
+    scaled_rms = scale * fg_rms
+    scale = jnp.where(scaled_rms < MIN_FG_RMS,
+                      scale * (MIN_FG_RMS / jnp.maximum(scaled_rms, EPS)),
+                      scale)
+    offsets = jnp.where(has_bg, offsets, 0)
+    gain = jnp.where(apply_gain, 10.0 ** (gain_db / 20.0), 1.0)
+    return mix_gain_pallas(fg, bg, offsets // 128, scale, has_bg, gain,
+                           interpret=interpret)
 
 
 def _pitch_gate(key, params: AugmentParams):
@@ -642,28 +686,6 @@ def _augment_post(key, mixed, rir, has_rir, params: AugmentParams):
     return out
 
 
-def _augment_one(key, fg, bg, rir, fg_len, has_bg, has_rir,
-                 params: AugmentParams):
-    """Single-clip augmentation chain (floats in [-1,1]); vmapped over B.
-    Per-clip CONTINUOUS pitch draws — the grouped/quantized pitch path in
-    augment_batch composes the same pre/post halves around
-    resample_pitch_grouped instead."""
-    mixed = _augment_pre(key, fg, bg, fg_len, has_bg, params)
-
-    # pitch/speed, probability gate (static skip when disabled — the
-    # interpolation resample is the chain's most expensive op)
-    if params.pitch_prob > 0:
-        k_pitch = jax.random.split(key, 9)[3]
-        semis = jax.random.uniform(k_pitch, (), minval=params.min_pitch,
-                                   maxval=params.max_pitch)
-        window = pitch_window(max(abs(params.min_pitch),
-                                  abs(params.max_pitch)))
-        mixed = resample_pitch(mixed, semis, _pitch_gate(key, params),
-                               window=window)
-
-    return _augment_post(key, mixed, rir, has_rir, params)
-
-
 @functools.partial(jax.jit, static_argnames=("params",))
 def augment_batch(key, fg, bg, rir, fg_lens, has_bg, has_rir,
                   params: AugmentParams) -> jnp.ndarray:
@@ -691,12 +713,26 @@ def augment_batch(key, fg, bg, rir, fg_lens, has_bg, has_rir,
         x = x.astype(jnp.float32)
         return x * jnp.where(jnp.max(jnp.abs(x)) > 2.0, 1.0 / 32768.0, 1.0)
 
+    fg_raw = fg                 # kernel path reads int16 directly
     fg = _to_unit(fg)
     bg = _to_unit(bg)
     rir = rir.astype(jnp.float32)
 
     B, n = fg.shape
     keys = jax.random.split(key, B)
+
+    def _pre_stage():
+        """Mix+gain pre-stage: fused Pallas kernel on TPU backends when
+        offsets are 128-aligned (one HBM pass, int16 read), the vmapped
+        XLA chain otherwise — bit-identical outputs (test_mix_pallas)."""
+        from nanowakeword_tpu.ops.mix_pallas import mix_pallas_wanted
+        if _offset_aligned(n, params) and mix_pallas_wanted():
+            kfg = fg_raw if jnp.issubdtype(fg_raw.dtype, jnp.integer) \
+                else fg
+            return _augment_pre_fused(keys, kfg, bg, fg_lens, has_bg,
+                                      params)
+        return jax.vmap(_augment_pre, in_axes=(0, 0, 0, 0, 0, None))(
+            keys, fg, bg, fg_lens, has_bg, params)
 
     # Grouped (rate-quantized) pitch fast path: same chain, with the pitch
     # stage lifted out of the vmap into one rate-stratified batch op. Shape
@@ -712,8 +748,7 @@ def augment_batch(key, fg, bg, rir, fg_lens, has_bg, has_rir,
                    and n % (frame * blk // math.gcd(frame, blk)) == 0
                    and n // blk - window // blk + 1 >= 1)
         if rational or grouped:
-            mixed = jax.vmap(_augment_pre, in_axes=(0, 0, 0, 0, 0, None))(
-                keys, fg, bg, fg_lens, has_bg, params)
+            mixed = _pre_stage()
             gate = jax.vmap(_pitch_gate, in_axes=(0, None))(keys, params)
             if rational:
                 pgrid = pitch_pgrid(params.min_pitch, params.max_pitch,
@@ -730,8 +765,25 @@ def augment_batch(key, fg, bg, rir, fg_lens, has_bg, has_rir,
                 keys, mixed, rir, has_rir, params)
             return (out * INT16_MAX).astype(jnp.int16)
 
-    out = jax.vmap(_augment_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
-        keys, fg, bg, rir, fg_lens, has_bg, has_rir, params)
+    # Generic path (continuous pitch / pitch off / odd shapes): the same
+    # pre -> pitch -> post composition as _augment_one, decomposed so the
+    # pre-stage can ride the fused mix kernel. Bit-identical to the
+    # single-clip chain — the stage halves share its key derivation.
+    mixed = _pre_stage()
+    if params.pitch_prob > 0:
+        window = pitch_window(max(abs(params.min_pitch),
+                                  abs(params.max_pitch)))
+
+        def _pitch_one(k, m):
+            k_pitch = jax.random.split(k, 9)[3]
+            semis = jax.random.uniform(k_pitch, (), minval=params.min_pitch,
+                                       maxval=params.max_pitch)
+            return resample_pitch(m, semis, _pitch_gate(k, params),
+                                  window=window)
+
+        mixed = jax.vmap(_pitch_one)(keys, mixed)
+    out = jax.vmap(_augment_post, in_axes=(0, 0, 0, 0, None))(
+        keys, mixed, rir, has_rir, params)
     return (out * INT16_MAX).astype(jnp.int16)
 
 

@@ -296,7 +296,8 @@ class TestGroupedPitch:
         args = self._batch_args()
         key = jax.random.PRNGKey(11)
         p_grid = A.AugmentParams.from_settings({"rir_prob": 0.0,
-                                                "pitch_grid_rates": 16})
+                                                "pitch_grid_rates": 16,
+                                                "pitch_rational": False})
         p_cont = A.AugmentParams.from_settings({"rir_prob": 0.0,
                                                 "pitch_grid_rates": 0})
         out_g = np.asarray(A.augment_batch(key, *args, p_grid))
@@ -316,7 +317,8 @@ class TestGroupedPitch:
         out_g = np.asarray(A.augment_batch(
             key, *args,
             A.AugmentParams.from_settings({"rir_prob": 0.0,
-                                           "pitch_grid_rates": 16})))
+                                           "pitch_grid_rates": 16,
+                                           "pitch_rational": False})))
         out_c = np.asarray(A.augment_batch(
             key, *args,
             A.AugmentParams.from_settings({"rir_prob": 0.0,
@@ -334,7 +336,8 @@ class TestGroupedPitch:
         params = A.AugmentParams.from_settings(
             {"rir_prob": 0.0, "gain_prob": 0.0, "pitch_prob": 1.0,
              "min_pitch_semitones": -6.0, "max_pitch_semitones": 6.0,
-             "pitch_grid_rates": R, "min_volume_augmentation": 0.8,
+             "pitch_grid_rates": R, "pitch_rational": False,
+             "min_volume_augmentation": 0.8,
              "max_volume_augmentation": 0.8})
         out = np.asarray(A.augment_batch(
             key, fg, np.zeros_like(fg), np.zeros((B, 100), np.float32),

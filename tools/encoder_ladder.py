@@ -53,6 +53,9 @@ RUNGS = {
     "L2": dict(vocab=1536, variants=48, channels="union"),
     "L3": dict(vocab=1536, variants=24, channels="union3"),
     "v6r": dict(vocab=1536, variants=24, channels="union"),
+    # round-2 rung: both winning axes together (L1 vocab x L2 speakers),
+    # run after L1/L2 each beat the anchor individually
+    "L4": dict(vocab=3072, variants=48, channels="union"),
 }
 
 RECORDED = {   # round-3 large-eval numbers (docs/NEXT_ROUND.md, sidecar)
