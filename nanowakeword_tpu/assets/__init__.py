@@ -21,15 +21,22 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 #     (--channels union), evaluated additionally on the never-trained
 #     telephone-EQ/reverb fx chain — cross-domain transfer, not just
 #     cross-speaker (VERDICT r2 #1).
+# v4: the round-4 corpus-scaling ladder winner (L4: 2x vocab AND 2x
+#     speakers vs the v3 corpus, supcon 0.5) — ship_score 0.7899 vs v3's
+#     0.7625 under the ladder's ex-ante criterion; see
+#     campaign/encoder_ladder/ladder.json and the sidecar's
+#     ladder_decision note.
 SPEECH_ENCODER_V1 = os.path.join(_DIR, "speech_encoder_v1.msgpack")
 SPEECH_ENCODER_V2 = os.path.join(_DIR, "speech_encoder_v2.msgpack")
 SPEECH_ENCODER_V3 = os.path.join(_DIR, "speech_encoder_v3.msgpack")
-DEFAULT_SPEECH_ENCODER = SPEECH_ENCODER_V3
+SPEECH_ENCODER_V4 = os.path.join(_DIR, "speech_encoder_v4.msgpack")
+DEFAULT_SPEECH_ENCODER = SPEECH_ENCODER_V4
 
 
 def speech_encoder_asset_path():
     """Path to the newest bundled pretrained encoder, or None."""
-    for path in (SPEECH_ENCODER_V3, SPEECH_ENCODER_V2, SPEECH_ENCODER_V1):
+    for path in (SPEECH_ENCODER_V4, SPEECH_ENCODER_V3, SPEECH_ENCODER_V2,
+                 SPEECH_ENCODER_V1):
         if os.path.exists(path):
             return path
     return None

@@ -18,7 +18,7 @@ pretraining (nearest-centroid identification), which is the property the
 bundled asset must have: useful features for arbitrary wake words.
 
 The result is saved as the registry's default asset
-(`nanowakeword_tpu/assets/speech_encoder_v3.msgpack`); AudioFeatures and the
+(`nanowakeword_tpu/assets/speech_encoder_v4.msgpack`); AudioFeatures and the
 training pipeline pick it up automatically (data/features.py).
 
 Run: python -m nanowakeword_tpu.train.pretrain_encoder --out <path>
@@ -49,7 +49,7 @@ SR = 16000
 
 ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "assets")
-DEFAULT_ASSET = os.path.join(ASSET_DIR, "speech_encoder_v3.msgpack")
+DEFAULT_ASSET = os.path.join(ASSET_DIR, "speech_encoder_v4.msgpack")
 
 # Phone inventory for pseudo-word sampling (onsets/nuclei/codas the formant
 # synthesizer renders distinctly).

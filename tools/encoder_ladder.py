@@ -120,7 +120,13 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     os.makedirs(args.cachedir, exist_ok=True)
 
+    # read-modify-write: merge this invocation's rungs into the existing
+    # record (running `--rungs L4` once clobbered L1-L3/v6r out of the
+    # working tree — VERDICT r4 weak #2)
+    ladder_path = os.path.join(args.workdir, "ladder.json")
     ladder = {}
+    if os.path.exists(ladder_path):
+        ladder = json.load(open(ladder_path)).get("rungs", {})
     for name in args.rungs.split(","):
         name = name.strip()
         report = run_rung(name, RUNGS[name], args.steps,
@@ -132,14 +138,25 @@ def main():
               f"(formant {report['confusable_pair_acc']:.3f} / resonator "
               f"{report['resonator_pair_acc']:.3f} / fx "
               f"{report['heldout_fx_pair_acc']:.3f})", flush=True)
+        eligible = {k: v for k, v in ladder.items()
+                    if v.get("in_domain_floor_ok")}
+        winner = max(eligible, key=lambda k: eligible[k]["ship_score"],
+                     default=None)
         out = dict(criterion=__doc__.split("Usage:")[0],
                    recorded={k: {**v, "ship_score": round(
                        (v["resonator_pair_acc"]
                         + v["heldout_fx_pair_acc"]) / 2, 4)}
                        for k, v in RECORDED.items()},
                    rungs=ladder)
-        json.dump(out, open(os.path.join(args.workdir, "ladder.json"), "w"),
-                  indent=1)
+        if winner is not None:
+            out["decision"] = {
+                "winner": winner,
+                "ship_score": ladder[winner]["ship_score"],
+                "note": (f"{winner} leads all floor-passing rungs under the "
+                         "ex-ante criterion; recorded v3 (shipped through "
+                         "round 4) scores 0.7625"),
+            }
+        json.dump(out, open(ladder_path, "w"), indent=1)
     print("[ladder] done", flush=True)
 
 
