@@ -14,54 +14,54 @@ import collections.abc
 
 class ConfigProxy(collections.abc.Mapping):
     def __init__(self, data, root_proxy=None, prefix: str = ""):
-        self._internal_data = data
-        self._internal_root = root_proxy if root_proxy is not None else self
-        self._internal_prefix = prefix
-        if self._internal_root is self:
-            self._internal_used_params = {}
-            self._internal_accessed_keys = set()
+        self._tree = data
+        self._tracker_root = root_proxy if root_proxy is not None else self
+        self._dotted_prefix = prefix
+        if self._tracker_root is self:
+            self._seen_leaves = {}
+            self._seen_keys = set()
 
     def _track_access(self, key, value):
-        full_key = self._internal_prefix + key
+        full_key = self._dotted_prefix + key
         if not isinstance(value, dict):
-            root = self._internal_root
-            if full_key not in root._internal_accessed_keys:
-                root._internal_used_params[full_key] = value
-                root._internal_accessed_keys.add(full_key)
+            root = self._tracker_root
+            if full_key not in root._seen_keys:
+                root._seen_leaves[full_key] = value
+                root._seen_keys.add(full_key)
 
     def __getitem__(self, key):
-        if key not in self._internal_data:
-            raise KeyError(f"Key '{self._internal_prefix}{key}' not found "
+        if key not in self._tree:
+            raise KeyError(f"Key '{self._dotted_prefix}{key}' not found "
                            "in configuration.")
-        value = self._internal_data[key]
+        value = self._tree[key]
         self._track_access(key, value)
         if isinstance(value, dict):
-            return ConfigProxy(value, root_proxy=self._internal_root,
-                               prefix=f"{self._internal_prefix}{key}.")
+            return ConfigProxy(value, root_proxy=self._tracker_root,
+                               prefix=f"{self._dotted_prefix}{key}.")
         return value
 
     def __iter__(self):
-        return iter(self._internal_data)
+        return iter(self._tree)
 
     def __len__(self):
-        return len(self._internal_data)
+        return len(self._tree)
 
     def get(self, key: str, default=None):
-        if key in self._internal_data:
+        if key in self._tree:
             return self[key]
         self._track_access(key, default)
         if isinstance(default, dict):
-            return ConfigProxy(default, root_proxy=self._internal_root,
-                               prefix=f"{self._internal_prefix}{key}.")
+            return ConfigProxy(default, root_proxy=self._tracker_root,
+                               prefix=f"{self._dotted_prefix}{key}.")
         return default
 
     def __setitem__(self, key, value):
-        self._internal_data[key] = value
+        self._tree[key] = value
         self._track_access(key, value)
 
     def report(self) -> dict:
         """All parameters accessed so far (leaf keys, dotted paths)."""
-        return self._internal_root._internal_used_params
+        return self._tracker_root._seen_leaves
 
     def to_dict(self) -> dict:
         out = {}
@@ -70,15 +70,15 @@ class ConfigProxy(collections.abc.Mapping):
         return out
 
     def __repr__(self):
-        return (f"ConfigProxy(prefix='{self._internal_prefix}', "
-                f"data={self._internal_data})")
+        return (f"ConfigProxy(prefix='{self._dotted_prefix}', "
+                f"data={self._tree})")
 
     def _leaf(self):
-        if isinstance(self._internal_data, dict):
+        if isinstance(self._tree, dict):
             raise TypeError(
                 "This ConfigProxy wraps a dictionary and cannot be treated "
-                f"as a single value. Path: '{self._internal_prefix}'")
-        return self._internal_data
+                f"as a single value. Path: '{self._dotted_prefix}'")
+        return self._tree
 
     def __int__(self):
         return int(self._leaf())
@@ -87,8 +87,8 @@ class ConfigProxy(collections.abc.Mapping):
         return float(self._leaf())
 
     def __str__(self):
-        if isinstance(self._internal_data, dict):
-            return str(self._internal_data)
+        if isinstance(self._tree, dict):
+            return str(self._tree)
         return str(self._leaf())
 
     def __add__(self, other):

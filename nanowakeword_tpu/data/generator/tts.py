@@ -580,12 +580,22 @@ def generate_samples(text: Sequence[str] | str,
                      voices: Optional[List[str]] = None,
                      batch_size: int = 32,
                      seed: int = 10,
+                     channel: str = "formant",
                      **kwargs) -> List[str]:
     """Synthesize up to max_samples WAV files from the given text(s).
 
     Cycles over the (voice, length_scale, noise_scale, noise_w) product like
     the reference (`generate_samples.py:178-290`), writes 16 kHz mono 16-bit
     WAVs, and returns the written paths.
+
+    `channel` selects the built-in synthesis channel(s) when piper is not
+    in play: "formant" (default), "resonator", "harmonic", "union"
+    (clips alternate formant/resonator), or "union3" (all three) — the
+    same channel vocabulary as train/pretrain_encoder.py. A model whose
+    positives train through one rendering family only under-detects the
+    others (round-4 campaign: 64% patience-3 miss on the never-trained
+    resonator channel), so multi-channel positives are the production
+    setting.
     """
     del kwargs, batch_size
     if isinstance(text, str):
@@ -638,8 +648,22 @@ def generate_samples(text: Sequence[str] | str,
         phrase = texts[i % len(texts)]
         ls, ns, _ = next(settings_cycle)
         f0 = rng.uniform(90, 220)  # speaker variation
-        audio = formant_synthesize(phrase, length_scale=ls, noise_scale=ns,
-                                   f0=f0, seed=seed + i)
+        ch = channel
+        if ch == "union":
+            ch = ("formant", "resonator")[i % 2]
+        elif ch == "union3":
+            ch = ("formant", "resonator", "harmonic")[i % 3]
+        if ch == "resonator":
+            audio = resonator_synthesize(phrase, length_scale=ls,
+                                         noise_scale=ns, f0=f0, seed=seed + i,
+                                         vtl_scale=rng.uniform(0.85, 1.15))
+        elif ch == "harmonic":
+            audio = harmonic_synthesize(phrase, length_scale=ls,
+                                        noise_scale=ns, f0=f0, seed=seed + i,
+                                        vtl_scale=rng.uniform(0.85, 1.15))
+        else:
+            audio = formant_synthesize(phrase, length_scale=ls,
+                                       noise_scale=ns, f0=f0, seed=seed + i)
         audio = cleanup_filter(audio)
         path = os.path.join(output_dir, f"{file_prefix}_{i:06d}.wav")
         write_wav(path, audio * 32767.0)

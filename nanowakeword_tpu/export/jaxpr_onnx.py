@@ -104,6 +104,7 @@ class _Translator:
         self.g = g
         self.dynamic = dynamic_batch
         self.env: Dict[object, str] = {}   # jaxpr Var -> tensor name
+        self.const_vals: Dict[object, np.ndarray] = {}  # Var -> known value
 
     # -- plumbing -----------------------------------------------------------
 
@@ -147,6 +148,7 @@ class _Translator:
         g = self.g
         for var, cval in zip(jaxpr.constvars, consts):
             arr = np.asarray(cval)
+            self.const_vals[var] = arr
             if arr.dtype.kind in "fc":
                 arr = arr.astype(np.float32)
             elif arr.dtype.kind in "iub":
@@ -155,7 +157,38 @@ class _Translator:
         for eqn in jaxpr.eqns:
             self.eqn(eqn)
 
+    # integer index math worth constant-folding so p_gather can prove
+    # in-bounds indices (jnp.take's negative-index wraparound chain:
+    # lt/add/select_n/broadcast_in_dim over a constant index vector)
+    _FOLDABLE = frozenset({
+        "add", "sub", "mul", "neg", "rem", "max", "min", "lt", "le", "gt",
+        "ge", "eq", "ne", "select_n", "broadcast_in_dim", "reshape",
+        "convert_element_type", "concatenate", "squeeze", "slice"})
+
+    def _try_fold(self, eqn):
+        """Record outvar values when every input value is already known."""
+        from jax.extend.core import Literal
+        if eqn.primitive.name not in self._FOLDABLE:
+            return
+        vals = []
+        for v in eqn.invars:
+            val = (np.asarray(v.val) if isinstance(v, Literal)
+                   else self.const_vals.get(v))
+            if val is None or val.size > 4096 or val.dtype.kind not in "iub":
+                return
+            vals.append(val)
+        try:
+            import jax
+            out = eqn.primitive.bind(
+                *[jax.numpy.asarray(v) for v in vals], **eqn.params)
+        except Exception:  # noqa: BLE001 — folding is best-effort
+            return
+        outs = out if eqn.primitive.multiple_results else [out]
+        for var, o in zip(eqn.outvars, outs):
+            self.const_vals[var] = np.asarray(o)
+
     def eqn(self, eqn):
+        self._try_fold(eqn)
         prim = eqn.primitive.name
         handler = getattr(self, f"p_{prim}", None)
         if handler is None:
@@ -173,13 +206,23 @@ class _Translator:
     # -- call primitives: inline -------------------------------------------
 
     def _inline(self, eqn, inner, consts):
+        from jax.extend.core import Literal
         for outer, inner_v in zip(eqn.invars, inner.invars):
             self.write(inner_v, self.read(outer))
+            known = (np.asarray(outer.val) if isinstance(outer, Literal)
+                     else self.const_vals.get(outer))
+            if known is not None:
+                self.const_vals[inner_v] = known
         sub = _Translator(self.g, self.dynamic)
         sub.env = self.env
+        sub.const_vals = self.const_vals
         sub.run(inner, consts)
         for outer, inner_v in zip(eqn.outvars, inner.outvars):
             self.write(outer, sub.read(inner_v))
+            known = (np.asarray(inner_v.val) if isinstance(inner_v, Literal)
+                     else self.const_vals.get(inner_v))
+            if known is not None:
+                self.const_vals[outer] = known
 
     def p_pjit(self, eqn):
         closed = eqn.params["jaxpr"]
@@ -381,6 +424,25 @@ class _Translator:
             self.read(indices),
             self.g.init_tensor("shape", np.asarray([-1], np.int64))])
         idx = self.g.add("Cast", [idx], to=P.INT64)
+        # OOB semantics differ: jax gathers clamp (clip mode) or NaN-fill
+        # (jnp.take's fill default), ONNX Gather errors/wraps. Indices
+        # known at export time and in-bounds need nothing; otherwise clip
+        # mode materialises a Clip on the indices and fill mode (no ONNX
+        # counterpart) stays unsupported.
+        from jax.extend.core import Literal
+        known = (np.asarray(indices.val) if isinstance(indices, Literal)
+                 else self.const_vals.get(indices))
+        mode = str(eqn.params.get("mode"))
+        in_bounds = (known is not None and known.size
+                     and known.min() >= 0 and known.max() < op_shape[k])
+        if not in_bounds and "PROMISE" not in mode:
+            if "FILL" in mode:
+                raise ExportUnsupported(
+                    "gather with fill-mode OOB semantics and indices not "
+                    "provably in bounds")
+            idx = self.g.add("Clip", [
+                idx, self.g.init_tensor("lo", np.int64(0)),
+                self.g.init_tensor("hi", np.int64(op_shape[k] - 1))])
         out = self.g.add("Gather", [self.read(operand), idx], axis=k)
         # ONNX Gather output dtype follows data (float); graph stays f32
         self.write(eqn.outvars[0], out)

@@ -62,19 +62,28 @@ def _conv(x, w, b, pads, strides, dilations, group):
     return _conv2d(x, w, b, pads, strides, dilations, group)
 
 
-def _pool(x, kernel, strides, pads=None, mode="max"):
-    """ONNX MaxPool / AveragePool(count_include_pad=1) over 1 or 2 spatial
-    dims of [N, C, spatial...]."""
+def _pool(x, kernel, strides, pads=None, mode="max", count_include_pad=1):
+    """ONNX MaxPool / AveragePool over 1 or 2 spatial dims of
+    [N, C, spatial...]. AveragePool honours count_include_pad: with 0 (the
+    ONNX default) padded positions are excluded from each window's
+    divisor."""
     rank = x.ndim - 2
-    if pads and any(int(p) for p in pads):
+    padded = bool(pads) and any(int(p) for p in pads)
+    counts = None
+    if padded:
         fill = -np.inf if mode == "max" else 0.0
         width = [(0, 0), (0, 0)] + [(int(pads[i]), int(pads[rank + i]))
                                     for i in range(rank)]
+        if mode != "max" and not count_include_pad:
+            counts = np.pad(np.ones(x.shape[2:], np.float64),
+                            width[2:], constant_values=0.0)[None, None]
         x = np.pad(x, width, constant_values=fill)
     squeeze = rank == 1
     if squeeze:                       # route 1-D pooling through the 2-D path
         x = x[..., None]
         kernel, strides = list(kernel) + [1], list(strides) + [1]
+        if counts is not None:
+            counts = counts[..., None]
     n, c, h, w = x.shape
     kh, kw = kernel
     sh, sw = strides
@@ -82,12 +91,15 @@ def _pool(x, kernel, strides, pads=None, mode="max"):
     ow = (w - kw) // sw + 1
     init = -np.inf if mode == "max" else 0.0
     out = np.full((n, c, oh, ow), init, x.dtype)
+    div = np.zeros((1, 1, oh, ow)) if counts is not None else None
     for i in range(kh):
         for j in range(kw):
             window = x[:, :, i:i + oh * sh:sh, j:j + ow * sw:sw]
             out = np.maximum(out, window) if mode == "max" else out + window
+            if counts is not None:
+                div = div + counts[:, :, i:i + oh * sh:sh, j:j + ow * sw:sw]
     if mode != "max":
-        out = out / (kh * kw)
+        out = out / (kh * kw if div is None else np.maximum(div, 1.0))
     return out[..., 0] if squeeze else out
 
 
@@ -252,7 +264,8 @@ def run(model: Union[str, bytes, P.ParsedModel],
         elif op == "AveragePool":
             y = _pool(x[0], a["kernel_shape"],
                       a.get("strides", a["kernel_shape"]),
-                      a.get("pads"), mode="avg")
+                      a.get("pads"), mode="avg",
+                      count_include_pad=int(a.get("count_include_pad", 0)))
         elif op == "BatchNormalization":
             scale, bias, mean, var = x[1], x[2], x[3], x[4]
             eps = a.get("epsilon", 1e-5)
@@ -323,6 +336,10 @@ def run(model: Union[str, bytes, P.ParsedModel],
             y = x[0]
             for v in x[1:]:
                 y = np.minimum(y, v)
+        elif op == "Clip":
+            lo = x[1] if len(x) > 1 and x[1] is not None else None
+            hi = x[2] if len(x) > 2 and x[2] is not None else None
+            y = np.clip(x[0], lo, hi)
         elif op == "Greater":
             y = (x[0] > x[1]).astype(np.float32)
         elif op == "Less":

@@ -286,3 +286,55 @@ class TestPiperBackend:
         np.testing.assert_array_equal(resample_to_16k(x, 16000), x)
         y = resample_to_16k(x, 48000)
         assert abs(len(y) - len(x) // 3) <= 2
+
+
+class TestChannelSelection:
+    """generate_samples `channel` tts_setting: the -G stage can synthesize
+    through any built-in channel (or cycle unions), so positives train
+    multi-channel (round-4 campaign: single-channel positives under-detect
+    the other rendering families at the production operating point)."""
+
+    def test_union3_cycles_channels_deterministically(self, tmp_path):
+        from nanowakeword_tpu.data.generator.tts import (
+            cleanup_filter, formant_synthesize, generate_samples,
+            harmonic_synthesize, resonator_synthesize)
+        from nanowakeword_tpu.utils.audio_io import load_audio
+        paths = generate_samples("hey nano", max_samples=3,
+                                 output_dir=str(tmp_path),
+                                 channel="union3", seed=11)
+        assert len(paths) == 3
+        # clip i uses channel (formant, resonator, harmonic)[i % 3] with
+        # the same (ls, ns, f0, seed) draws as the formant-only path
+        import random
+        import itertools
+        rng = random.Random(11)
+        cycle = itertools.cycle(
+            [(ls, ns) for ls in (0.85, 1.0, 1.15)
+             for ns in (0.333, 0.667) for _ in (0, 1)])
+        synths = (formant_synthesize, resonator_synthesize,
+                  harmonic_synthesize)
+        for i, p in enumerate(paths):
+            ls, ns = next(cycle)
+            f0 = rng.uniform(90, 220)
+            kw = {}
+            if i % 3:
+                kw["vtl_scale"] = rng.uniform(0.85, 1.15)
+            want = cleanup_filter(synths[i % 3](
+                "hey nano", length_scale=ls, noise_scale=ns, f0=f0,
+                seed=11 + i, **kw))
+            got = load_audio(p)   # int16-scale float32
+            assert len(got) == len(want)
+            np.testing.assert_allclose(
+                got, np.clip(want * 32767.0, -32768, 32767)
+                .astype(np.int16).astype(np.float32), atol=1.0)
+
+    def test_channel_resonator_differs_from_formant(self, tmp_path):
+        from nanowakeword_tpu.data.generator.tts import generate_samples
+        from nanowakeword_tpu.utils.audio_io import load_audio
+        a = generate_samples("hey nano", max_samples=1,
+                             output_dir=str(tmp_path / "a"), seed=7)
+        b = generate_samples("hey nano", max_samples=1,
+                             output_dir=str(tmp_path / "b"),
+                             channel="resonator", seed=7)
+        xa, xb = load_audio(a[0]), load_audio(b[0])
+        assert len(xa) != len(xb) or not np.allclose(xa, xb)

@@ -134,3 +134,40 @@ def test_fallback_warns_with_reason(capsys):
         module.apply(variables, jnp.asarray(x)).reshape(1, -1)))
     got = onnx_eval.run(data, {"features": x})["score"]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_clip_mode_oob_clamps_like_jax():
+    """jnp.take(mode="clip") with runtime-OOB indices: the exported graph
+    must clamp (ONNX Gather alone errors/wraps), matching jax (ADVICE r4)."""
+
+    class ClipTake(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            idx = jnp.asarray([0, 25, T - 1])      # 25 is out of range
+            x = jnp.take(x, idx, axis=1, mode="clip")
+            return nn.Dense(1)(x.mean(axis=1))
+
+    module = ClipTake()
+    variables = module.init(jax.random.PRNGKey(3), jnp.zeros((1, T, F)))
+    data = build_onnx_from_module(module, variables, (T, F), 1, "cliptake")
+    x = np.random.default_rng(0).normal(0, 1, (3, T, F)).astype(np.float32)
+    want = np.asarray(jax.nn.sigmoid(
+        module.apply(variables, jnp.asarray(x)).reshape(3, -1)))
+    got = onnx_eval.run(data, {"features": x})["score"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_avgpool_count_include_pad_zero():
+    """The numpy evaluator honours AveragePool's count_include_pad=0 (the
+    ONNX default): padded positions leave each window's divisor."""
+    from nanowakeword_tpu.export.onnx_eval import _pool
+    x = np.arange(8, dtype=np.float32).reshape(1, 1, 8)
+    # kernel 3, stride 2, pad 1 each side
+    incl = _pool(x, [3], [2], pads=[1, 1], mode="avg", count_include_pad=1)
+    excl = _pool(x, [3], [2], pads=[1, 1], mode="avg", count_include_pad=0)
+    # first window sees [pad, 0, 1]: include-pad averages over 3, exclude
+    # over 2
+    assert np.isclose(incl[0, 0, 0], (0 + 0 + 1) / 3.0)
+    assert np.isclose(excl[0, 0, 0], (0 + 1) / 2.0)
+    # interior windows (no padded positions) agree
+    np.testing.assert_allclose(incl[0, 0, 1:-1], excl[0, 0, 1:-1])

@@ -61,7 +61,8 @@ def _max_scores(artifact, clips):
     for clip in clips:
         interp.reset()
         best = 0.0
-        audio = (np.asarray(clip) * 32767.0).astype(np.int16)
+        audio = np.clip(np.asarray(clip) * 32767.0,
+                        -32768, 32767).astype(np.int16)
         for i in range(0, len(audio), 1280):
             chunk = audio[i:i + 1280]
             if len(chunk) < 1280:
