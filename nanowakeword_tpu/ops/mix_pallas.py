@@ -30,8 +30,19 @@ vs two) differs between the two graphs — measured <= 2 ulp, <= 1 LSB
 after the chain's int16 quantization, and asserted at those bounds in
 tests/test_mix_pallas.py.
 
-Measured (2048 x 16000, v5e-1, steady-state chained; round 4):
-XLA pre-stage 3.12 ms + ~0.5 ms int16 convert -> kernel TODO ms.
+MEASURED NEGATIVE (round 5, v5e-1, 2048 x 16000 int16, 16 chained
+steps/sync, two sessions — tools/probe_mix_kernel.py): standalone
+pre-stage XLA chain 2.88/2.95 ms vs kernel 3.01/3.01 ms; FULL config-3
+bf16 step 11.15/11.09 ms (XLA) vs 11.09/11.05 ms (kernel) — a ~2%
+standalone loss and a full-step wash within relay noise. The round-4
+prediction (XLA pre-stage 3.12 ms + ~0.5 ms int16 convert, kernel wins
+one HBM pass) did not survive measurement: after the producer
+optimization_barrier and 128-sample placement quantization landed, XLA
+already fuses convert+shift+mix+gain into ~one pass, and the kernel's
+int16-read saving is offset by its grid/roll overhead. Default therefore
+FLIPPED OFF (round 5): the simpler XLA chain is the default path;
+NWW_TPU_PALLAS_MIX=1 opts the kernel in (outputs are equal within 1 ulp
+pre-quantization, test_mix_pallas.py, so either path is safe).
 """
 
 from __future__ import annotations
@@ -117,10 +128,14 @@ def mix_gain_pallas(fg: jnp.ndarray, bg: jnp.ndarray, q: jnp.ndarray,
 
 
 def mix_pallas_wanted() -> bool:
-    """Kernel path gate: TPU backend + env opt-out (NWW_TPU_PALLAS_MIX=0)."""
+    """Kernel path gate: TPU backend + env OPT-IN (NWW_TPU_PALLAS_MIX=1).
+
+    Default off — the measured-negative A/B in the module docstring: the
+    XLA chain matches or beats the kernel on the real chip, so the
+    simpler path is the default."""
     try:
         backend = jax.default_backend()
     except Exception:  # noqa: BLE001
         backend = "cpu"
     return (backend in ("tpu", "axon")
-            and os.environ.get("NWW_TPU_PALLAS_MIX", "1") == "1")
+            and os.environ.get("NWW_TPU_PALLAS_MIX", "0") == "1")
