@@ -125,6 +125,35 @@ class TestCascadeGating:
         # verifier never runs -> its score stays 0 even after warm-up
         assert r.scores["toy"] == 0.0
 
+    def test_general_path_saves_verifier_compute(self, artifact):
+        """The cascade's reason to exist: on the general (session-loop)
+        path, a below-gate chunk must not invoke the verifier session at
+        all (reference `nanointerpreter.py:665-674`). Counted, not
+        inferred from scores."""
+        interp = NanoInterpreter.load_model(artifact, cascade=True,
+                                            gate_threshold=1.1)
+        interp._fused_step = None        # force the general path
+        verifier = interp.models["toy"]
+        calls = {"n": 0}
+        original = verifier.run
+
+        def counting_run(*a, **k):
+            calls["n"] += 1
+            return original(*a, **k)
+        verifier.run = counting_run
+        rng = np.random.default_rng(2)
+        for _ in range(25):
+            interp.predict(rng.integers(-8000, 8000, 1280,
+                                        dtype=np.int64).astype(np.int16))
+        assert calls["n"] == 0, "verifier session ran despite closed gate"
+
+        # open the gate: verifier sessions start running
+        interp.cascade_config["gate_threshold"] = -1.0
+        for _ in range(5):
+            interp.predict(rng.integers(-8000, 8000, 1280,
+                                        dtype=np.int64).astype(np.int16))
+        assert calls["n"] == 5
+
 
 class TestVAD:
     def test_speech_scores_higher_than_silence(self):

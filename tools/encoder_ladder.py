@@ -56,6 +56,12 @@ RUNGS = {
     # round-2 rung: both winning axes together (L1 vocab x L2 speakers),
     # run after L1/L2 each beat the anchor individually
     "L4": dict(vocab=3072, variants=48, channels="union"),
+    # round-3 rung (VERDICT r4 weak #6): L3's "third channel is negative"
+    # verdict was budget-confounded — at FIXED clip budget, union3 dilutes
+    # per-channel variants. L5 re-asks the question at MATCHED per-channel
+    # variants on the L4 recipe: 24/channel x 3 channels = 72 variants,
+    # 1.5x L4's clip budget. If the harmonic channel helps, L5 > L4.
+    "L5": dict(vocab=3072, variants=72, channels="union3"),
 }
 
 RECORDED = {   # round-3 large-eval numbers (docs/NEXT_ROUND.md, sidecar)
