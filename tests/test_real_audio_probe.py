@@ -71,7 +71,12 @@ def _pooled_unit_embeddings(batch: np.ndarray) -> np.ndarray:
 def test_encoder_transfers_to_real_speech():
     """The synthetic-pretrained encoder, applied to REAL speech: a volume
     change must barely move the embedding while a different utterance
-    moves it far (measured here: self-sim ~0.995 vs cross-sim ~0.56)."""
+    moves it far. Measured on the bundled assets: v3 self-sim 0.995 /
+    cross-sim 0.56 (gap 0.43); v4 (the supcon-trained ladder winner)
+    self-sim 0.946 / cross-sim 0.028 (gap 0.92) — v4 trades a sliver of
+    volume invariance for far stronger utterance separation, which is the
+    property the downstream classifier consumes. Bars guard the property
+    with margin under both."""
     clips = _load_all()
     n = 16000
 
@@ -88,6 +93,6 @@ def test_encoder_transfers_to_real_speech():
     ]))
     self_sim = float(pooled[0] @ pooled[1])
     cross_sim = float(pooled[0] @ pooled[2])
-    assert self_sim > 0.95, f"volume invariance broken: {self_sim}"
-    assert cross_sim < 0.8, f"utterances not separated: {cross_sim}"
-    assert self_sim - cross_sim > 0.15
+    assert self_sim > 0.9, f"volume invariance broken: {self_sim}"
+    assert cross_sim < 0.7, f"utterances not separated: {cross_sim}"
+    assert self_sim - cross_sim > 0.3
