@@ -46,20 +46,37 @@ class CachedData(NamedTuple):
     replace: Tuple[bool, ...]       # static with-replacement flags
 
 
-def build_cached_data(dataset, batch_composition: Dict[str, int],
-                      feature_manifests) -> CachedData:
-    """Upload the whole dataset + ISBL state to the device."""
+def materialize_rows(dataset):
+    """Contiguous host copies of every (feature, label) row of a dataset.
+
+    Shared by the device-cache builders (training here, distillation in
+    train/distill.py): one pass over the mmap-backed rows into dense
+    float32 arrays, ready for a single host->device upload. Rows with
+    differing frame counts are pad/truncated to the dataset's most common
+    length — the same collate policy as Dataset.gather, applied once
+    globally instead of per batch (a static device cache needs one shape)."""
     n = len(dataset)
-    print_info(f"Uploading {n} feature rows to device HBM "
-               "(device-cache training mode)...")
-    # materialise in chunks to bound host memory spikes
-    first, _, _ = dataset[0]
-    feats = np.empty((n,) + first.shape, np.float32)
+    rows = []
     labels = np.empty(n, np.float32)
     for i in range(n):
         f, lbl, _ = dataset[i]
-        feats[i] = f
+        rows.append(f)
         labels[i] = lbl
+    lengths = [r.shape[0] for r in rows]
+    target_len = max(set(lengths), key=lengths.count)
+    feats = np.zeros((n, target_len, rows[0].shape[1]), np.float32)
+    for i, f in enumerate(rows):
+        m = min(f.shape[0], target_len)
+        feats[i, :m] = f[:m]
+    return feats, labels
+
+
+def build_cached_data(dataset, batch_composition: Dict[str, int],
+                      feature_manifests) -> CachedData:
+    """Upload the whole dataset + ISBL state to the device."""
+    print_info(f"Uploading {len(dataset)} feature rows to device HBM "
+               "(device-cache training mode)...")
+    feats, labels = materialize_rows(dataset)
 
     pools, quotas, replace = [], [], []
     for rule, quota in batch_composition.items():

@@ -26,6 +26,7 @@ import optax
 from tqdm import tqdm
 
 from nanowakeword_tpu.models.model import Model
+from nanowakeword_tpu.train.cached import materialize_rows
 from nanowakeword_tpu.train.loss import distill_loss
 from nanowakeword_tpu.utils.logger import print_info
 
@@ -74,7 +75,7 @@ def _make_distill_step(teacher_module, teacher_variables, student_module, tx,
 
 
 def _run_distill_loop(teacher_module, teacher_variables, student: Model,
-                      batch_iter, steps: int, temperature: float,
+                      X_train, steps: int, temperature: float,
                       alpha: float, lr: float, log_interval: int,
                       desc: str) -> Model:
     tx = optax.chain(
@@ -100,22 +101,43 @@ def _run_distill_loop(teacher_module, teacher_variables, student: Model,
     # the scan instead; semantics are bit-identical (same rng, same EMA
     # recurrence seeded by the first loss, same strict-< improvement rule)
     # and the host fetches one [K] loss trace per dispatch.
-    def one_step(carry, inputs):
-        params, opt_state, ema, best_loss, best_params = carry
-        i, feats, labels = inputs
-        params, opt_state, loss = step_fn(params, opt_state, rng, i,
-                                          feats, labels)
-        ema = jnp.where(i == 0, loss, ema_alpha * loss
-                        + (1 - ema_alpha) * ema)
-        improved = ema < best_loss
-        best_loss = jnp.where(improved, ema, best_loss)
-        best_params = jax.tree_util.tree_map(
-            lambda b, p: jnp.where(improved, p, b), best_params, params)
-        return (params, opt_state, ema, best_loss, best_params), ema
+    #
+    # The FEATURES are device-resident too (round 5): the dataset uploads
+    # once and each dispatch ships only the sampler's [K, batch] int32
+    # index matrix — ~0.26 MB vs the ~786 MB of gathered float32 batches
+    # the host path shipped per 250-step dispatch. Measured incident: at
+    # degraded TPU-relay bandwidth the per-dispatch feature upload stalled
+    # a campaign distill run for 50+ min at step 3500; the training loop
+    # was immune because train/cached.py already ships indices only. Same
+    # rng/EMA/best-restore semantics; the gather moves inside the scan.
+    feats_host, labels_host = materialize_rows(X_train[0])
+    print_info(f"[Distillation] Uploading {len(feats_host)} feature rows "
+               "to device HBM (device-cache distill mode)...")
+    cache_f = jax.device_put(feats_host)
+    cache_l = jax.device_put(labels_host)
+    del feats_host, labels_host
+
+    def one_step_in(cache_f, cache_l):
+        def one_step(carry, inputs):
+            params, opt_state, ema, best_loss, best_params = carry
+            i, row_idx = inputs
+            feats = jnp.take(cache_f, row_idx, axis=0)
+            labels = jnp.take(cache_l, row_idx, axis=0)
+            params, opt_state, loss = step_fn(params, opt_state, rng, i,
+                                              feats, labels)
+            ema = jnp.where(i == 0, loss, ema_alpha * loss
+                            + (1 - ema_alpha) * ema)
+            improved = ema < best_loss
+            best_loss = jnp.where(improved, ema, best_loss)
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params)
+            return (params, opt_state, ema, best_loss, best_params), ema
+        return one_step
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_k(carry, idx, feats, labels):
-        return jax.lax.scan(one_step, carry, (idx, feats, labels))
+    def run_k(carry, idx, row_idx, cache_f, cache_l):
+        return jax.lax.scan(one_step_in(cache_f, cache_l), carry,
+                            (idx, row_idx))
 
     k_steps = int(min(250, steps))
     # best_params must be a REAL copy: params is donated, and donating the
@@ -125,12 +147,13 @@ def _run_distill_loop(teacher_module, teacher_variables, student: Model,
     pbar = tqdm(total=steps, desc=desc, unit="step")
     done = 0
     ema_tail = float("nan")
+    index_iter = _cycle_indices(X_train)
     while done < steps:
         k = min(k_steps, steps - done)
-        batch_f, batch_l = zip(*(next(batch_iter) for _ in range(k)))
+        row_idx = np.stack([next(index_iter) for _ in range(k)])
         carry, ema_trace = run_k(
             carry, jnp.arange(done, done + k),
-            jnp.asarray(np.stack(batch_f)), jnp.asarray(np.stack(batch_l)))
+            jnp.asarray(row_idx, jnp.int32), cache_f, cache_l)
         ema_tail = float(np.asarray(ema_trace)[-1])
         done += k
         pbar.update(k)
@@ -148,13 +171,15 @@ def _run_distill_loop(teacher_module, teacher_variables, student: Model,
     return student
 
 
-def _cycle_batches(X_train):
-    """Endless (features, labels) iterator over a (dataset, sampler) pair."""
-    dataset, sampler = X_train
+def _cycle_indices(X_train):
+    """Endless sampled-row-index iterator over a (dataset, sampler) pair.
+
+    The gather itself happens on device against the uploaded cache
+    (_run_distill_loop), so only these int indices ever cross the host
+    boundary."""
+    _, sampler = X_train
     while True:
-        idx = np.asarray(sampler.sample_batch(), np.int64)
-        feats, labels, _ = dataset.gather(idx)
-        yield feats, labels
+        yield np.asarray(sampler.sample_batch(), np.int64)
 
 
 def distill_model(teacher: Model, X_train, config,
@@ -177,7 +202,7 @@ def distill_model(teacher: Model, X_train, config,
     print_info(f"[Distillation] Alpha (soft)   : {alpha}")
 
     return _run_distill_loop(teacher.module, teacher.variables, student,
-                             _cycle_batches(X_train), steps, temperature,
+                             X_train, steps, temperature,
                              alpha, lr, log_interval, desc="Distilling")
 
 
@@ -205,7 +230,7 @@ def distill_from_artifact(artifact_path: str, X_train, config,
                f"Alpha: {alpha}")
 
     student = _run_distill_loop(teacher.module, teacher.variables, student,
-                                _cycle_batches(X_train), steps, temperature,
+                                X_train, steps, temperature,
                                 alpha, lr, log_interval,
                                 desc="Distilling (from artifact)")
 

@@ -41,6 +41,17 @@ joins VALIDATION, after the first round-5 run's trained model
 false-alarmed on babble/white-noise streams that best-checkpoint
 selection never saw.
 
+NEGATIVES render union3 too (recipe v3). Measured shortcut, second
+round-5 run: with union3 positives but formant-only negatives, the
+rendering family itself predicts the label (all 9.5k negative clips were
+formant; 2/3 of positives were not) — the trained model missed 77% of
+in-domain FORMANT positives (median max score 0.688) while detecting 90%
+resonator / 98% harmonic and rejecting every negative stream at max score
+0.014. A wake-word model that keys on the synthesizer, not the phrase, is
+useless on real voices; with negatives drawn from the same three-channel
+mixture the channel carries zero label information and the model must
+discriminate on phonetic content.
+
 Run everything:  python tools/quality_campaign.py all
 Stages are resumable; data lives under /tmp/nww_campaign (regenerated
 deterministically from seeds — nothing precious off-repo).
@@ -458,7 +469,7 @@ def write_config():
              "num_samples": 2000,
              "text_source": {"type": "phoneme_adversarial",
                              "base_phrase": PHRASE, "min_distance": 0.35},
-             "tts_settings": {"seed": 30}},
+             "tts_settings": {"seed": 30, "channel": "union3"}},
             # closer near-homophones (min_distance 0.2 vs the eval set's
             # 0.35): the adversarial stress set read 74 FA/h at patience 3
             # in round 4 — training on HARDER variants attacks it
@@ -468,33 +479,33 @@ def write_config():
              "num_samples": 1500,
              "text_source": {"type": "phoneme_adversarial",
                              "base_phrase": PHRASE, "min_distance": 0.2},
-             "tts_settings": {"seed": 35}},
+             "tts_settings": {"seed": 35, "channel": "union3"}},
             {"name": "word_adversarial", "enabled": True,
              "output_dir": str(DATA / "neg_word_adv"),
              "num_samples": 1500,
              "text_source": {"type": "auto_adversarial",
                              "base_phrase": PHRASE},
-             "tts_settings": {"seed": 40}},
+             "tts_settings": {"seed": 40, "channel": "union3"}},
             {"name": "generic_speech", "enabled": True,
              "output_dir": str(DATA / "neg_generic"),
              "num_samples": 2000,
              "text_source": {"type": "from_list",
                              "phrases": _generic_phrases(500, seed=50)},
-             "tts_settings": {"seed": 50}},
+             "tts_settings": {"seed": 50, "channel": "union3"}},
             {"name": "dense_speech", "enabled": True,
              "output_dir": str(DATA / "neg_dense"),
              "num_samples": 2500,
              "text_source": {"type": "from_list",
                              "phrases": _generic_phrases(
                                  600, seed=55, min_words=4, max_words=10)},
-             "tts_settings": {"seed": 55}},
+             "tts_settings": {"seed": 55, "channel": "union3"}},
             {"name": "negatives_val", "enabled": True,
              "output_dir": str(DATA / "negative_val"),
              "num_samples": 400,
              "file_prefix": "pa",
              "text_source": {"type": "phoneme_adversarial",
                              "base_phrase": PHRASE, "min_distance": 0.35},
-             "tts_settings": {"seed": 60000}},
+             "tts_settings": {"seed": 60000, "channel": "union3"}},
             {"name": "negatives_val_dense", "enabled": True,
              "output_dir": str(DATA / "negative_val"),
              "num_samples": 300,
@@ -503,7 +514,7 @@ def write_config():
                              "phrases": _generic_phrases(
                                  150, seed=70000, min_words=4,
                                  max_words=10)},
-             "tts_settings": {"seed": 70000}},
+             "tts_settings": {"seed": 70000, "channel": "union3"}},
         ],
         "feature_generation_manifest": {
             "positive_features": {
