@@ -1,10 +1,12 @@
 """Wake-word quality regression: the campaign-trained model must detect.
 
-Guards the round-4 quality-parity campaign result (campaign/results.json,
-built by tools/quality_campaign.py): a CRNN trained to convergence by THIS
-framework's full pipeline (-G -t -T -d on the built-in synthesis channels)
-detects "hey nano" on held-out synthetic speakers and rejects held-out
-speech/noise streams. The committed artifact is streamed over a small
+Guards the round-5 quality-parity campaign result (campaign/results.json,
+built by tools/quality_campaign.py recipe v3 — union3 rendering for BOTH
+classes, v4 encoder): a CRNN trained to convergence by THIS framework's
+full pipeline (-G -t -T -d on the built-in synthesis channels) detects
+"hey nano" on held-out synthetic speakers — raw threshold AND the swept
+production operating point, including the never-trained fx transfer
+chain — and rejects held-out speech/noise streams. The committed artifact is streamed over a small
 eval set regenerated deterministically here (same generators, disjoint
 seeds from training AND from the big campaign eval), so the floor asserted
 below breaks if a regression in the feature frontend, the interpreter, or
@@ -27,7 +29,10 @@ LITE = REPO / "campaign" / "hey_nano_crnn_lite.nww"
 
 N_POS = 25
 N_NEG_STREAMS = 8        # 10-s speech streams
-THRESHOLD = 0.90
+N_FX = 15                # never-trained fx-chain transfer positives
+THRESHOLD = 0.90         # raw per-frame threshold (reference evaluator)
+OP_THRESHOLD = 0.85      # swept production operating point
+OP_PATIENCE = 2          # (campaign/results.json operating_point_sweep)
 SR = 16000
 
 pytestmark = pytest.mark.skipif(
@@ -50,30 +55,56 @@ def eval_clips():
         negs.append(_speech_stream(srng, words, 10))
     noise = [_mic_floor(np.random.default_rng(57_000_000 + i), 10 * SR) * 30
              for i in range(3)]
-    return pos, negs + noise
+    frng = np.random.default_rng(58_000_000)
+    fx = [_positive_eval_clip(frng, 58_000_000 + i, channel="formant_fx")
+          for i in range(N_FX)]
+    return pos, negs + noise, fx
 
 
-def _max_scores(artifact, clips):
+def _score_traces(artifact, clips):
+    """Per-chunk score traces (the production post-filter needs runs, not
+    just the max)."""
     from nanowakeword_tpu.interpreter.nanointerpreter import NanoInterpreter
     interp = NanoInterpreter.load_model(str(artifact))
     key = list(interp.models.keys())[0]
     out = []
     for clip in clips:
         interp.reset()
-        best = 0.0
         audio = np.clip(np.asarray(clip) * 32767.0,
                         -32768, 32767).astype(np.int16)
+        row = []
         for i in range(0, len(audio), 1280):
             chunk = audio[i:i + 1280]
             if len(chunk) < 1280:
                 break
-            best = max(best, interp.predict(chunk).get(key, 0.0))
-        out.append(best)
-    return np.asarray(out)
+            row.append(interp.predict(chunk).get(key, 0.0))
+        out.append(np.asarray(row, np.float32))
+    return out
+
+
+def _max_scores(artifact, clips):
+    return np.asarray([t.max() if t.size else 0.0
+                       for t in _score_traces(artifact, clips)])
+
+
+def _production_detect(traces, threshold=OP_THRESHOLD, patience=OP_PATIENCE):
+    """Detection under the swept production operating point: `patience`
+    CONSECUTIVE chunk scores >= threshold (campaign/results.json
+    operating_point_sweep)."""
+    hits = []
+    for t in traces:
+        h = t >= threshold
+        run = False
+        for k in range(len(h) - patience + 1):
+            if h[k:k + patience].all():
+                run = True
+                break
+        hits.append(run)
+    return np.asarray(hits)
 
 
 def test_trained_model_detects_held_out_speakers(eval_clips):
-    pos, _ = eval_clips
+    pos, _, _ = eval_clips
     scores = _max_scores(ARTIFACT, pos)
     detected = int((scores >= THRESHOLD).sum())
     assert detected >= N_POS - 2, (
@@ -82,7 +113,7 @@ def test_trained_model_detects_held_out_speakers(eval_clips):
 
 
 def test_trained_model_rejects_speech_and_noise(eval_clips):
-    _, negs = eval_clips
+    _, negs, _ = eval_clips
     scores = _max_scores(ARTIFACT, negs)
     alarms = int((scores > THRESHOLD).sum())
     assert alarms <= 1, (
@@ -93,10 +124,43 @@ def test_trained_model_rejects_speech_and_noise(eval_clips):
 def test_lite_gate_detects(eval_clips):
     if not LITE.exists():
         pytest.skip("lite campaign artifact not built")
-    pos, _ = eval_clips
+    pos, _, _ = eval_clips
     scores = _max_scores(LITE, pos)
     # the 12K-param gate runs at a LOW threshold in the cascade
     # (gate_threshold 0.3): its job is recall, not precision
     detected = int((scores >= 0.3).sum())
     assert detected >= N_POS - 2, (
         f"gate misses: {N_POS - detected}/{N_POS} below 0.3")
+
+
+def test_production_operating_point(eval_clips):
+    """Patience-filtered guards at the SWEPT production operating point
+    (VERDICT r4 weak #5): the headline "0 FA over 3 h at the production
+    settings" and the positive miss there need tripwires, not just the
+    raw-threshold bars above. Measured (campaign/results.json): 2.5%
+    in-domain production miss, 0 patience alarms over 3 h of
+    speech+noise."""
+    pos, negs, _ = eval_clips
+    pos_hit = _production_detect(_score_traces(ARTIFACT, pos))
+    assert pos_hit.sum() >= N_POS - 3, (
+        f"production-point misses: {N_POS - int(pos_hit.sum())}/{N_POS} at "
+        f"threshold {OP_THRESHOLD} patience {OP_PATIENCE}")
+    neg_hit = _production_detect(_score_traces(ARTIFACT, negs))
+    assert neg_hit.sum() <= 1, (
+        f"production-point false alarms: {int(neg_hit.sum())}/{len(negs)} "
+        f"streams")
+
+
+def test_transfer_fx_channel(eval_clips):
+    """The honest transfer eval: held-out-speaker positives through the
+    telephone-EQ/reverb/clip fx chain NOTHING in the product trains on.
+    Measured 0.0% raw / 2.67% production miss (campaign/results.json);
+    bars carry flake margin."""
+    _, _, fx = eval_clips
+    traces = _score_traces(ARTIFACT, fx)
+    raw = sum(t.max() >= THRESHOLD for t in traces)
+    assert raw >= N_FX - 2, (
+        f"fx-transfer raw misses: {N_FX - raw}/{N_FX} at {THRESHOLD}")
+    prod = _production_detect(traces)
+    assert prod.sum() >= N_FX - 3, (
+        f"fx-transfer production misses: {N_FX - int(prod.sum())}/{N_FX}")
