@@ -164,3 +164,50 @@ def test_transfer_fx_channel(eval_clips):
     prod = _production_detect(traces)
     assert prod.sum() >= N_FX - 3, (
         f"fx-transfer production misses: {N_FX - int(prod.sum())}/{N_FX}")
+
+
+def test_cascade_as_deployed(eval_clips):
+    """Composed gate+verifier floor, exactly as load_model(cascade=True)
+    deploys it (VERDICT r4 missing #2): the <stem>_lite gate scores every
+    chunk and the verifier only counts where the gate cleared. Measured
+    (campaign/results.json cascade): composed in-domain production miss
+    6.0%, 0 FA on speech/noise, verifier skip-rate 89.4% on negative
+    streams."""
+    if not LITE.exists():
+        pytest.skip("lite campaign artifact not built")
+    from nanowakeword_tpu.interpreter.nanointerpreter import NanoInterpreter
+    pos, negs, _ = eval_clips
+    interp = NanoInterpreter.load_model(str(ARTIFACT), cascade=True)
+    assert interp.is_cascade, "auto-discovery of the _lite gate failed"
+    verifier = interp.cascade_config["verifier"]
+    gate = interp.cascade_config["gate"]
+    gate_thr = interp.cascade_config["gate_threshold"]
+
+    def run(clips):
+        v_traces, invoked, chunks = [], 0, 0
+        for clip in clips:
+            interp.reset()
+            audio = np.clip(np.asarray(clip) * 32767.0,
+                            -32768, 32767).astype(np.int16)
+            row = []
+            for i in range(0, len(audio) - 1279, 1280):
+                res = interp.predict(audio[i:i + 1280])
+                row.append(res.get(verifier, 0.0))
+                invoked += res.get(gate, 0.0) >= gate_thr
+                chunks += 1
+            v_traces.append(np.asarray(row, np.float32))
+        return v_traces, invoked / max(chunks, 1)
+
+    pos_traces, _ = run(pos)
+    hits = _production_detect(pos_traces)
+    assert hits.sum() >= N_POS - 4, (
+        f"cascade production misses: {N_POS - int(hits.sum())}/{N_POS}")
+
+    neg_traces, neg_invoke_rate = run(negs)
+    alarms = _production_detect(neg_traces)
+    assert alarms.sum() <= 1, (
+        f"cascade false alarms: {int(alarms.sum())}/{len(negs)} streams")
+    # the cascade's reason to exist: the verifier must be SKIPPED on the
+    # overwhelming majority of negative audio (measured skip 89.4%)
+    assert neg_invoke_rate <= 0.5, (
+        f"verifier invoked on {neg_invoke_rate:.0%} of negative chunks")
