@@ -287,3 +287,28 @@ def test_corpus_cache_mismatch_refuses_to_clobber(tmp_path):
     # the matching config still loads it
     again = build_corpus(small, cache_path=cache, verbose=False)
     assert int(again["clips"].shape[0]) == 6
+
+def test_int8_corpus_storage_trains(monkeypatch):
+    """Corpora above _CLIP_INT8_BYTES are stored int8 in HBM with an exact
+    x256 in-step dequant (the 10.6 GiB L5 ladder rung OOMed a 15.75 GiB
+    chip when device-resident as int16). Forcing the threshold to 1 byte
+    must still train end-to-end, and the quantization itself must be the
+    documented round-to-multiple-of-256 map."""
+    import nanowakeword_tpu.train.pretrain_encoder as pe
+
+    monkeypatch.setattr(pe, "_CLIP_INT8_BYTES", 1)
+    cfg = pe.PretrainConfig(vocab_size=4, confusable_fraction=0.0,
+                            variants_per_word=4, heldout_variants=1,
+                            clip_samples=16000, noise_clips=4, rir_clips=2,
+                            batch_size=8, steps=2, contrastive_weight=0.5)
+    _, report = pe.pretrain_encoder(cfg, verbose=False)
+    assert np.isfinite(report["final_train_loss"])
+
+    # quantization map: round((x + 128) >> 8) clipped to int8, dequant *256
+    x = np.array([-32768, -256, -129, -128, 0, 127, 128, 255, 256, 32512,
+                  32767], np.int16)
+    blk = x.astype(np.int32)
+    q = np.clip((blk + 128) >> 8, -128, 127).astype(np.int8)
+    deq = q.astype(np.int16) * np.int16(256)
+    assert np.abs(deq.astype(np.int32) - x.astype(np.int32)).max() <= 255
+    assert deq.min() >= -32768 and deq.max() <= 32512  # no int16 overflow
