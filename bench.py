@@ -399,6 +399,33 @@ def bench_all(batch: int = 2048):
     return results
 
 
+def check_mel_kernel_exact(atol: float = 2e-3) -> float:
+    """Compiled-path correctness tripwire: the fused Pallas mel (the
+    product's bulk TPU path, exercised above for THROUGHPUT only) must
+    match the XLA hop-DFT twin on the real chip. CI runs the kernel in
+    interpret mode on CPU (tests/test_mel_pallas.py); this is the only
+    per-round check of the Mosaic-compiled artifact itself. Tolerance is
+    the suite's: log-amplified rounding of differently-ordered f32
+    partial sums near silent bins (test_mel_pallas.py:29-30).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nanowakeword_tpu.ops import mel as melops
+    from nanowakeword_tpu.ops.mel_pallas import mel_frontend_fused
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.integers(-20000, 20000, (8, 16000)), jnp.float32)
+    out = np.asarray(jax.jit(mel_frontend_fused)(x))
+    ref = np.asarray(jax.jit(
+        lambda a: melops.mel_frontend(a, compute_dtype=jnp.bfloat16))(x))
+    err = float(np.abs(out - ref).max())
+    if err > atol:
+        raise AssertionError(
+            f"compiled Pallas mel diverges from XLA twin: max|diff|={err}")
+    return err
+
+
 def main():
     if "--all" in sys.argv:
         results = bench_all()
@@ -406,6 +433,7 @@ def main():
             print(f"{k:>40}: {v:,.1f}")
         return
 
+    mel_err = check_mel_kernel_exact()   # hard-fails on kernel divergence
     throughput = bench_throughput()
     try:
         p50_ms = bench_stream_latency()
@@ -425,6 +453,8 @@ def main():
     if on_chip_ms is not None:
         # true device compute per 80 ms frame (K-chained dispatch)
         result["on_chip_frame_ms"] = round(on_chip_ms, 4)
+    # compiled Pallas mel vs XLA twin on this chip (gate: <= 2e-3)
+    result["mel_kernel_max_abs_diff"] = round(mel_err, 6)
     if p50_ms is not None:
         # end-to-end single-frame round trip (relay-RTT-bound when tunneled)
         result["p50_stream_frame_latency_ms"] = round(p50_ms, 3)
