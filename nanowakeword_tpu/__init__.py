@@ -6,7 +6,7 @@ Public API parity with the reference package
 security API.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.6.0"
 
 from nanowakeword_tpu.data.features import AudioFeatures  # noqa: F401
 from nanowakeword_tpu.interpreter.nanointerpreter import (  # noqa: F401
