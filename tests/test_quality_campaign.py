@@ -211,3 +211,26 @@ def test_cascade_as_deployed(eval_clips):
     # overwhelming majority of negative audio (measured skip 89.4%)
     assert neg_invoke_rate <= 0.5, (
         f"verifier invoked on {neg_invoke_rate:.0%} of negative chunks")
+
+def test_committed_evidence_is_consistent():
+    """The committed tuning record (campaign/sweep.json: full patience x
+    threshold grid + stress ROC) must agree with the published winner in
+    campaign/results.json and with the constants this suite guards at —
+    catches evidence/claim drift if either file is regenerated alone."""
+    import json
+
+    sweep = json.loads((REPO / "campaign" / "sweep.json").read_text())
+    results = json.loads((REPO / "campaign" / "results.json").read_text())
+    published = results["operating_point_sweep"]["operating_point"]
+
+    assert sweep["operating_point"] == published
+    assert published["threshold"] == OP_THRESHOLD
+    assert published["patience"] == OP_PATIENCE
+    # the winner must actually be a row of the recorded grid
+    match = [r for r in sweep["grid"]
+             if r["threshold"] == published["threshold"]
+             and r["patience"] == published["patience"]]
+    assert len(match) == 1 and match[0] == published
+    # and satisfy the selection rule's hard constraint
+    assert published["negative_speech_fa_per_h"] == 0.0
+    assert published["noise_fa_per_h"] == 0.0
