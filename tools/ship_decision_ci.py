@@ -81,6 +81,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--pairs", type=int, default=96)
     p.add_argument("--boot", type=int, default=10000)
+    p.add_argument("--a", default=None, metavar="NAME=PATH",
+                   help="baseline asset (default v3=<bundled v3>)")
+    p.add_argument("--b", default=None, metavar="NAME=PATH",
+                   help="candidate asset (default v4=<bundled v4>)")
     p.add_argument("--out", default=os.path.join(
         REPO, "campaign", "encoder_ladder", "ship_decision_ci.json"))
     args = p.parse_args()
@@ -97,20 +101,24 @@ def main():
         make_confusable_pairs, sample_training_vocab,
         synthesize_word_variants)
 
-    assets = {
-        "v3": os.path.join(REPO, "nanowakeword_tpu", "assets",
-                           "speech_encoder_v3.msgpack"),
-        "v4": os.path.join(REPO, "nanowakeword_tpu", "assets",
-                           "speech_encoder_v4.msgpack"),
-    }
+    def parse_asset(spec, default_name, default_file):
+        if spec is None:
+            return default_name, os.path.join(
+                REPO, "nanowakeword_tpu", "assets", default_file)
+        name, _, path = spec.partition("=")
+        return name, path
+
+    name_a, path_a = parse_asset(args.a, "v3", "speech_encoder_v3.msgpack")
+    name_b, path_b = parse_asset(args.b, "v4", "speech_encoder_v4.msgpack")
+    assets = {name_a: path_a, name_b: path_b}
     enc_vars = {}
     for name, path in assets.items():
         with open(path, "rb") as f:
             enc_vars[name] = serialization.msgpack_restore(f.read())
 
     # one jitted embed shared by both assets (same wide128 geometry)
-    arch = infer_encoder_arch(enc_vars["v4"])
-    assert arch == infer_encoder_arch(enc_vars["v3"]), "arch mismatch"
+    arch = infer_encoder_arch(enc_vars[name_b])
+    assert arch == infer_encoder_arch(enc_vars[name_a]), "arch mismatch"
     encoder = build_encoder(arch)
 
     @jax.jit
@@ -147,33 +155,35 @@ def main():
         fx = (o["formant_fx"] + o["resonator_fx"]) / 2.0
         return (o["resonator"] + fx) / 2.0          # [P]
 
-    s3, s4 = ship_vector("v3"), ship_vector("v4")
+    s_a, s_b = ship_vector(name_a), ship_vector(name_b)
     rng = np.random.default_rng(20260820)
-    idx = rng.integers(0, len(s3), (args.boot, len(s3)))
-    deltas = (s4[idx] - s3[idx]).mean(axis=1)
+    idx = rng.integers(0, len(s_a), (args.boot, len(s_a)))
+    deltas = (s_b[idx] - s_a[idx]).mean(axis=1)
     report = {
         "criterion": "ship_score = mean(resonator_pair_acc, "
                      "heldout_fx_pair_acc); paired bootstrap over the "
                      f"{len(pairs)} shared eval pairs, {args.boot} resamples",
         "accs": accs,
-        "ship_score": {"v3": float(s3.mean()), "v4": float(s4.mean())},
-        "delta_v4_minus_v3": float(s4.mean() - s3.mean()),
+        "ship_score": {name_a: float(s_a.mean()), name_b: float(s_b.mean())},
+        f"delta_{name_b}_minus_{name_a}": float(s_b.mean() - s_a.mean()),
         "delta_ci95": [float(np.percentile(deltas, 2.5)),
                        float(np.percentile(deltas, 97.5))],
-        "p_v4_le_v3": float((deltas <= 0.0).mean()),
-        "note": "v4 accs on this draw must equal L4_eval.json (same seeds); "
-                "v3's sidecar numbers used its own smaller vocab exclusion "
-                "and differ slightly from its accs here",
+        f"p_{name_b}_le_{name_a}": float((deltas <= 0.0).mean()),
+        "note": "all ladder evals share this seeded pair draw, so recorded "
+                "per-channel accuracies reproduce exactly when an asset's "
+                "own vocab exclusion drew the same pairs",
     }
 
-    # integrity check against the committed ladder record
-    l4 = json.load(open(os.path.join(REPO, "campaign", "encoder_ladder",
-                                     "L4_eval.json")))
-    if args.pairs == l4["n_confusable_pairs"]:
-        rec_fx = (accs["v4"]["formant_fx"] + accs["v4"]["resonator_fx"]) / 2
-        report["reproduces_L4_eval"] = bool(
-            abs(accs["v4"]["resonator"] - l4["resonator_pair_acc"]) < 1e-9
-            and abs(rec_fx - l4["heldout_fx_pair_acc"]) < 1e-9)
+    # integrity check against the committed ladder record (v4 == rung L4)
+    if name_b == "v4":
+        l4 = json.load(open(os.path.join(REPO, "campaign", "encoder_ladder",
+                                         "L4_eval.json")))
+        if args.pairs == l4["n_confusable_pairs"]:
+            rec_fx = (accs["v4"]["formant_fx"]
+                      + accs["v4"]["resonator_fx"]) / 2
+            report["reproduces_L4_eval"] = bool(
+                abs(accs["v4"]["resonator"] - l4["resonator_pair_acc"]) < 1e-9
+                and abs(rec_fx - l4["heldout_fx_pair_acc"]) < 1e-9)
 
     print(json.dumps(report, indent=1))
     with open(args.out, "w") as f:
