@@ -131,8 +131,11 @@ def main():
     # working tree — VERDICT r4 weak #2)
     ladder_path = os.path.join(args.workdir, "ladder.json")
     ladder = {}
+    prior_decision = {}
     if os.path.exists(ladder_path):
-        ladder = json.load(open(ladder_path)).get("rungs", {})
+        existing = json.load(open(ladder_path))
+        ladder = existing.get("rungs", {})
+        prior_decision = existing.get("decision", {})
     for name in args.rungs.split(","):
         name = name.strip()
         report = run_rung(name, RUNGS[name], args.steps,
@@ -155,13 +158,19 @@ def main():
                        for k, v in RECORDED.items()},
                    rungs=ladder)
         if winner is not None:
+            # preserve hand-recorded decision extras (CI records, extended
+            # notes); regenerate the note only if the winner changed
             out["decision"] = {
+                **prior_decision,
                 "winner": winner,
                 "ship_score": ladder[winner]["ship_score"],
-                "note": (f"{winner} leads all floor-passing rungs under the "
-                         "ex-ante criterion; recorded v3 (shipped through "
-                         "round 4) scores 0.7625"),
             }
+            if prior_decision.get("winner") != winner \
+                    or "note" not in prior_decision:
+                out["decision"]["note"] = (
+                    f"{winner} leads all floor-passing rungs under the "
+                    "ex-ante criterion; recorded v3 (shipped through "
+                    "round 4) scores 0.7625")
         json.dump(out, open(ladder_path, "w"), indent=1)
     print("[ladder] done", flush=True)
 
